@@ -126,7 +126,15 @@ def parse_cli_overrides(argv: List[str]) -> Dict[str, Any]:
             raise ValueError(f"expected --key, got {tok!r}")
         key = tok[2:]
         if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
-            out[key] = yaml.safe_load(argv[i + 1])
+            raw_val = argv[i + 1]
+            val = yaml.safe_load(raw_val)
+            if isinstance(val, str):
+                # YAML 1.1 rejects "1e-3"-style floats; accept them anyway.
+                try:
+                    val = float(val)
+                except ValueError:
+                    pass
+            out[key] = val
             i += 2
         else:
             out[key] = True
