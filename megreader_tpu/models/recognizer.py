@@ -1,0 +1,118 @@
+"""Recognizer model assemblies (backbone -> encoder -> decoder head).
+
+Plays the role of MegReader's ``structure/model.py`` + ``decoders/`` CTC
+recognizer [U]: a flax module producing per-timestep class logits, plus
+loss/decode helpers used by the trainer and pipelines. Config-registered so
+experiment YAMLs can assemble models by name (SURVEY.md §5.6).
+
+Shape trace (config #1, SURVEY.md §3.4, TPU edition, NHWC):
+  (B, 32, 100, 3) -> resnet18-rec -> (B, 2, 25, 512)
+    -> height collapse (mean)      -> (B, 25, 512)
+    -> StackedBiLSTM(256) ×2       -> (B, 25, 512)
+    -> Dense(num_classes)          -> (B, 25, 37)
+  train: ctc_loss(logits, ...)   eval: ctc_greedy_decode / ctc_beam_decode
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.registry import register
+from ..ops.ctc import ctc_beam_decode, ctc_greedy_decode, ctc_loss
+from .resnet import resnet18, resnet34, resnet50
+from .sequence import StackedBiLSTM, TransformerEncoder
+
+BACKBONES = {
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+}
+
+
+class CTCRecognizerNet(nn.Module):
+    """CNN + sequence encoder + per-timestep classifier (CRNN-style)."""
+
+    num_classes: int
+    backbone: str = "resnet18"
+    encoder: str = "bilstm"  # 'bilstm' | 'transformer' | 'none'
+    hidden: int = 256
+    num_encoder_layers: int = 2
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        feat = BACKBONES[self.backbone](variant="rec")(images, train=train)
+        # (B, H', W', C) -> (B, W', C): collapse height by mean — keeps all
+        # rows contributing (curved text) and is shape-agnostic.
+        seq = jnp.mean(feat, axis=1)
+        if self.encoder == "bilstm":
+            seq = StackedBiLSTM(self.hidden, self.num_encoder_layers, name="encoder")(seq)
+        elif self.encoder == "transformer":
+            seq = TransformerEncoder(
+                dim=2 * self.hidden, num_layers=self.num_encoder_layers, name="encoder"
+            )(seq, train=train)
+        elif self.encoder != "none":
+            raise ValueError(f"unknown encoder {self.encoder!r}")
+        logits = nn.Dense(self.num_classes, name="classifier")(seq)
+        return logits  # (B, T, num_classes)
+
+
+@register
+class CTCRecognizer:
+    """Task wrapper: init/apply, loss, decode — the trainer-facing API."""
+
+    def __init__(
+        self,
+        num_classes: int = 37,
+        backbone: str = "resnet18",
+        encoder: str = "bilstm",
+        hidden: int = 256,
+        num_encoder_layers: int = 2,
+        blank: int = 0,
+    ):
+        self.net = CTCRecognizerNet(
+            num_classes=num_classes,
+            backbone=backbone,
+            encoder=encoder,
+            hidden=hidden,
+            num_encoder_layers=num_encoder_layers,
+        )
+        self.num_classes = num_classes
+        self.blank = blank
+
+    def init(self, rng, sample_images):
+        return self.net.init(rng, sample_images, train=False)
+
+    def apply(self, variables, images, train: bool = False, mutable=False):
+        return self.net.apply(variables, images, train=train, mutable=mutable)
+
+    def loss(self, variables, batch, train: bool = True, rngs=None):
+        """batch: {image (B,H,W,3), label (B,L), label_length (B,)}."""
+        out = self.net.apply(
+            variables,
+            batch["image"],
+            train=train,
+            mutable=["batch_stats"] if train else False,
+            rngs=rngs,
+        )
+        logits, new_state = out if train else (out, {})
+        B, T, _ = logits.shape
+        logit_lengths = jnp.full((B,), T, dtype=jnp.int32)
+        loss = ctc_loss(
+            logits, logit_lengths, batch["label"], batch["label_length"], blank=self.blank
+        )
+        metrics = {"loss": loss}
+        return loss, (metrics, new_state)
+
+    def decode(self, variables, images, mode: str = "greedy", beam_width: int = 8):
+        logits = self.net.apply(variables, images, train=False)
+        B, T, _ = logits.shape
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+        if mode == "greedy":
+            return ctc_greedy_decode(logits, lengths, blank=self.blank)
+        if mode == "beam":
+            return ctc_beam_decode(logits, lengths, beam_width=beam_width, blank=self.blank)
+        raise ValueError(f"unknown decode mode {mode!r}")

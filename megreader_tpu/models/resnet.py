@@ -1,0 +1,173 @@
+"""ResNet backbones (flax, NHWC) — detection and recognition flavors.
+
+Rebuilds the role of MegReader's ``backbones/resnet.py`` [U]: ResNet-18/34/50
+with (a) a detection flavor returning the C2–C5 pyramid for FPN heads and
+(b) a recognition flavor whose later stages stride only in height so a
+32×100 word crop ends as a width-25 sequence of features.
+
+TPU-first choices:
+* NHWC layout throughout (XLA's preferred conv layout on TPU).
+* Explicit torch-style padding (``((1,1),(1,1))`` etc.) rather than SAME so a
+  torch checkpoint converted by ``compat.torch_convert`` reproduces
+  activations exactly — required for the bit-for-bit greedy-decode parity
+  target (BASELINE.json north_star).
+* BatchNorm with stored running stats (eval default); training mode threads
+  mutable batch_stats as usual in flax.
+* Deformable variants plug in via ``ops.deform`` sampling (DCN stages), the
+  TPU equivalent of the reference's CUDA extension (SURVEY.md §2.6 N1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _conv(features, kernel, stride, name=None, use_bias=False):
+    pad = kernel // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=stride if isinstance(stride, tuple) else (stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """2×(3×3 conv) residual block (ResNet-18/34)."""
+
+    features: int
+    stride: Tuple[int, int] = (1, 1)
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = _conv(self.features, 3, self.stride, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.features, 3, (1, 1), name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        if residual.shape[-1] != self.features or self.stride != (1, 1):
+            residual = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=self.stride,
+                use_bias=False,
+                name="downsample_conv",
+            )(x)
+            residual = nn.BatchNorm(
+                use_running_average=not train, name="downsample_bn"
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1×1 → 3×3 → 1×1 residual block (ResNet-50/101), expansion 4."""
+
+    features: int
+    stride: Tuple[int, int] = (1, 1)
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.features * self.expansion
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.features, 3, self.stride, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn3")(y)
+        if residual.shape[-1] != out_ch or self.stride != (1, 1):
+            residual = nn.Conv(
+                out_ch, (1, 1), strides=self.stride, use_bias=False, name="downsample_conv"
+            )(x)
+            residual = nn.BatchNorm(
+                use_running_average=not train, name="downsample_bn"
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Configurable ResNet trunk.
+
+    variant='det': ImageNet-style stem (7×7 s2 + maxpool s2); stage strides
+      (1,2,2,2); returns (C2, C3, C4, C5) at strides 4/8/16/32.
+    variant='rec': word-crop stem (3×3 s1 + 2×2 maxpool); stage strides
+      (1, (2,2), (2,1), (2,1)) so a 32×100 input ends at H=2, W=25; returns
+      the final feature map only.
+    variant='rec2d': like 'rec' but preserves height for 2D-CTC heads —
+      stage strides (1, (2,2), (2,1), (1,1)): 32×100 -> H=4, W=25. The 2-D
+      prob map keeps vertical resolution so curved text needn't collapse to
+      one row (arXiv:1907.09705).
+    """
+
+    block: Any = BasicBlock
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    variant: str = "det"
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.variant == "det":
+            y = nn.Conv(
+                self.width,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                name="stem_conv",
+            )(x)
+            y = nn.BatchNorm(use_running_average=not train, name="stem_bn")(y)
+            y = nn.relu(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            stage_strides = [(1, 1), (2, 2), (2, 2), (2, 2)]
+        elif self.variant in ("rec", "rec2d"):
+            y = _conv(self.width, 3, (1, 1), name="stem_conv")(x)
+            y = nn.BatchNorm(use_running_average=not train, name="stem_bn")(y)
+            y = nn.relu(y)
+            y = nn.max_pool(y, (2, 2), strides=(2, 2))
+            if self.variant == "rec":
+                stage_strides = [(1, 1), (2, 2), (2, 1), (2, 1)]
+            else:
+                stage_strides = [(1, 1), (2, 2), (2, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown variant {self.variant!r}")
+
+        feats = []
+        for i, (n_blocks, stride) in enumerate(zip(self.stage_sizes, stage_strides)):
+            for j in range(n_blocks):
+                y = self.block(
+                    features=self.width * (2**i),
+                    stride=stride if j == 0 else (1, 1),
+                    name=f"layer{i + 1}_block{j}",
+                )(y, train=train)
+            feats.append(y)
+
+        if self.variant == "det":
+            return tuple(feats)  # C2..C5
+        return y
+
+
+def resnet_variant(name: str, variant: str = "det") -> "ResNet":
+    factories = {"resnet18": resnet18, "resnet34": resnet34, "resnet50": resnet50}
+    return factories[name](variant=variant)
+
+
+def resnet18(variant="det"):
+    return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2), variant=variant)
+
+
+def resnet34(variant="det"):
+    return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3), variant=variant)
+
+
+def resnet50(variant="det"):
+    return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3), variant=variant)
