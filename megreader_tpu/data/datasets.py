@@ -1,0 +1,241 @@
+"""Datasets: list-file image datasets + synthetic data for tests/bench.
+
+Role of the reference's ``data/image_dataset.py`` [U] (SURVEY.md §2.2):
+datasets yield plain dicts; the heavy pixel work happens on device, so host
+__getitem__ only decodes + pastes into fixed canvases (static shapes for
+XLA) and computes label geometry.
+
+``SyntheticRecognitionDataset`` renders word crops with cv2.putText —
+self-contained training/eval data for tests and benchmarks (the reference
+relied on external ICDAR/LMDB data that is not shippable here).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.charset import Charset
+from ..core.registry import register
+from .processes import make_border_maps, make_seg_maps, parse_icdar_gt
+
+
+@register
+class RecognitionListDataset:
+    """List file: ``relative/path<TAB>transcript`` per line (word crops)."""
+
+    def __init__(
+        self,
+        list_path: str,
+        image_root: Optional[str] = None,
+        canvas_hw: Tuple[int, int] = (64, 256),
+    ):
+        self.image_root = image_root or os.path.dirname(os.path.abspath(list_path))
+        with open(list_path) as f:
+            self.items = [
+                line.rstrip("\n").split("\t", 1)
+                for line in f
+                if line.strip()
+            ]
+        self.canvas_hw = canvas_hw
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i: int) -> Dict:
+        import cv2
+
+        path, text = self.items[i]
+        img = cv2.imread(os.path.join(self.image_root, path), cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        H, W = self.canvas_hw
+        h, w = img.shape[:2]
+        if h > H or w > W:  # pre-shrink oversized crops to fit the canvas
+            s = min(H / h, W / w)
+            img = cv2.resize(img, (max(1, int(w * s)), max(1, int(h * s))))
+            h, w = img.shape[:2]
+        canvas = np.zeros((H, W, 3), np.uint8)
+        canvas[:h, :w] = img
+        return {"image": canvas, "size": np.array([h, w], np.int32), "text": text}
+
+
+@register
+class DetectionICDARDataset:
+    """ICDAR-style dir pair: images/ + gts/ with per-image txt polygons."""
+
+    def __init__(
+        self,
+        image_dir: str,
+        gt_dir: str,
+        target_hw: Tuple[int, int] = (640, 640),
+        shrink_ratio: float = 0.4,
+    ):
+        self.image_dir = image_dir
+        self.gt_dir = gt_dir
+        self.target_hw = target_hw
+        self.shrink_ratio = shrink_ratio
+        self.names = sorted(
+            os.path.splitext(n)[0]
+            for n in os.listdir(image_dir)
+            if n.lower().endswith((".jpg", ".png", ".jpeg"))
+        )
+
+    def __len__(self):
+        return len(self.names)
+
+    def _gt_path(self, name: str) -> str:
+        for pat in (f"gt_{name}.txt", f"{name}.txt"):
+            p = os.path.join(self.gt_dir, pat)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"no GT for {name}")
+
+    def __getitem__(self, i: int) -> Dict:
+        import cv2
+
+        name = self.names[i]
+        for ext in (".jpg", ".png", ".jpeg"):
+            p = os.path.join(self.image_dir, name + ext)
+            if os.path.exists(p):
+                break
+        img = cv2.cvtColor(cv2.imread(p, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        with open(self._gt_path(name), encoding="utf-8-sig") as f:
+            polys, ignored, texts = parse_icdar_gt(f.readlines())
+
+        H, W = self.target_hw
+        h, w = img.shape[:2]
+        sx, sy = W / w, H / h
+        img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+        polys = [p * np.array([sx, sy], np.float32) for p in polys]
+
+        seg = make_seg_maps(polys, ignored, (H, W), self.shrink_ratio)
+        border = make_border_maps(polys, ignored, (H, W), self.shrink_ratio)
+        return {
+            "image": img,
+            "gt": seg["gt"],
+            "mask": seg["mask"],
+            "thresh_map": border["thresh_map"],
+            "thresh_mask": border["thresh_mask"],
+            "polygons": polys,
+            "ignore": ignored,
+            "texts": texts,
+            "scale": np.array([1.0 / sx, 1.0 / sy], np.float32),
+            "filename": name,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Synthetic data (tests + benchmarks, no external datasets in the image)
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog reading tpu jax pallas text "
+    "detection recognition scene 2020 42 100 icdar megreader flax optax"
+).split()
+
+
+@register
+class SyntheticRecognitionDataset:
+    """Rendered word crops: white-ish text on dark noise, exact labels."""
+
+    def __init__(
+        self,
+        n: int = 1024,
+        canvas_hw: Tuple[int, int] = (64, 256),
+        charset: Optional[Charset] = None,
+        seed: int = 0,
+    ):
+        self.n = n
+        self.canvas_hw = canvas_hw
+        self.charset = charset or Charset()
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> Dict:
+        import cv2
+
+        rng = np.random.default_rng(self.seed * 1_000_003 + i)
+        text = _WORDS[int(rng.integers(len(_WORDS)))]
+        h = int(rng.integers(24, 48))
+        scale = h / 24.0
+        w = min(int(len(text) * 14 * scale + 12), self.canvas_hw[1])
+        img = (rng.random((h, w, 3)) * 60).astype(np.uint8)
+        cv2.putText(
+            img,
+            text,
+            (4, h - max(4, int(6 * scale))),
+            cv2.FONT_HERSHEY_SIMPLEX,
+            0.7 * scale,
+            (230, 230, 230),
+            max(1, int(1.5 * scale)),
+            cv2.LINE_AA,
+        )
+        H, W = self.canvas_hw
+        canvas = np.zeros((H, W, 3), np.uint8)
+        canvas[:h, :w] = img
+        return {"image": canvas, "size": np.array([h, w], np.int32), "text": text}
+
+
+@register
+class SyntheticDetectionDataset:
+    """Pages with rendered words at random positions + exact quads."""
+
+    def __init__(self, n: int = 64, hw: Tuple[int, int] = (640, 640), seed: int = 0,
+                 shrink_ratio: float = 0.4):
+        self.n = n
+        self.hw = hw
+        self.seed = seed
+        self.shrink_ratio = shrink_ratio
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> Dict:
+        import cv2
+
+        rng = np.random.default_rng(self.seed * 999_983 + i)
+        H, W = self.hw
+        img = (rng.random((H, W, 3)) * 50).astype(np.uint8)
+        polys: List[np.ndarray] = []
+        texts: List[str] = []
+        n_words = int(rng.integers(3, 9))
+        for _ in range(n_words):
+            text = _WORDS[int(rng.integers(len(_WORDS)))]
+            fs = float(rng.uniform(0.8, 2.0))
+            (tw, th), _b = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, fs, 2)
+            x = int(rng.integers(5, max(6, W - tw - 5)))
+            y = int(rng.integers(th + 5, max(th + 6, H - 5)))
+            box = np.array(
+                [[x, y - th], [x + tw, y - th], [x + tw, y + 4], [x, y + 4]],
+                np.float32,
+            )
+            if any(_overlaps(box, q) for q in polys):
+                continue
+            cv2.putText(img, text, (x, y), cv2.FONT_HERSHEY_SIMPLEX, fs, (235, 235, 235), 2, cv2.LINE_AA)
+            polys.append(box)
+            texts.append(text)
+        ignored = [False] * len(polys)
+        seg = make_seg_maps(polys, ignored, (H, W), self.shrink_ratio)
+        border = make_border_maps(polys, ignored, (H, W), self.shrink_ratio)
+        return {
+            "image": img,
+            "gt": seg["gt"],
+            "mask": seg["mask"],
+            "thresh_map": border["thresh_map"],
+            "thresh_mask": border["thresh_mask"],
+            "polygons": polys,
+            "ignore": ignored,
+            "texts": texts,
+            "scale": np.array([1.0, 1.0], np.float32),
+            "filename": f"synth_{i}",
+        }
+
+
+def _overlaps(a: np.ndarray, b: np.ndarray) -> bool:
+    ax0, ay0, ax1, ay1 = a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max()
+    bx0, by0, bx1, by1 = b[:, 0].min(), b[:, 1].min(), b[:, 0].max(), b[:, 1].max()
+    return not (ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0)

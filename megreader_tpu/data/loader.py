@@ -1,0 +1,120 @@
+"""Batching loader: dataset dicts -> stacked numpy batches, prefetched.
+
+Role of the reference's ``data/data_loader.py`` [U] (SURVEY.md §2.2):
+batching, shuffling, worker prefetch, and the detection collate that keeps
+variable-length polygon lists un-stacked. TPU-first differences:
+
+* Per-host sharding replaces ``DistributedSampler``: ``host_shard=True``
+  slices the index space by ``jax.process_index()`` so each host feeds its
+  local devices (SURVEY.md §5.8).
+* Prefetch is a background thread pipelining host work (decode + GT
+  geometry) under the device step, not a process pool — the heavy pixel
+  work already lives on device, so the host side is light.
+* Recognition batches carry (canvas, size) pairs; the device does
+  aspect-preserving resize + normalize (ops/image.py), so batches stay
+  static-shape end to end.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.charset import Charset
+from ..core.registry import register
+
+_STACK_KEYS_REC = ("image", "size")
+_STACK_KEYS_DET = ("image", "gt", "mask", "thresh_map", "thresh_mask", "scale")
+_LIST_KEYS = ("polygons", "ignore", "texts", "text", "filename")
+
+
+def recognition_collate(samples: Sequence[Dict], charset: Charset, max_label_len: int = 32) -> Dict:
+    batch = {k: np.stack([s[k] for s in samples]) for k in _STACK_KEYS_REC if k in samples[0]}
+    texts = [s["text"] for s in samples]
+    labels, lengths = charset.encode_batch(texts, max_label_len)
+    batch["label"] = labels
+    batch["label_length"] = lengths
+    batch["text"] = texts
+    return batch
+
+
+def detection_collate(samples: Sequence[Dict]) -> Dict:
+    batch = {k: np.stack([s[k] for s in samples]) for k in _STACK_KEYS_DET if k in samples[0]}
+    for k in _LIST_KEYS:
+        if k in samples[0]:
+            batch[k] = [s[k] for s in samples]
+    return batch
+
+
+@register
+class Loader:
+    """Iterate a dataset in batches with optional shuffle/prefetch/host-shard."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate: Callable[[Sequence[Dict]], Dict],
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        host_shard: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.host_shard = host_shard
+        self.epoch = 0
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        if self.host_shard:
+            import jax
+
+            idx = idx[jax.process_index() :: jax.process_count()]
+        return idx
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[Dict]:
+        idx = self._indices()
+        end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
+        for s in range(0, end, self.batch_size):
+            chunk = idx[s : s + self.batch_size]
+            yield self.collate([self.dataset[int(i)] for i in chunk])
+
+    def __iter__(self) -> Iterator[Dict]:
+        self.epoch += 1
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            yield item

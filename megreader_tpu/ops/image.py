@@ -1,0 +1,270 @@
+"""Device-side image ingest: resize / normalize / warp / crop-rectify.
+
+The reference does all of this on CPU with OpenCV + imgaug in DataLoader
+worker processes (SURVEY.md §2.6 N5/N7, §3.1) — a known input-bound risk.
+Here ingest is XLA ops on device (BASELINE.json north_star: "ingest path
+fuses into XLA/Pallas device-side kernels").
+
+Core primitive: ``warp_bilinear`` — sample an image through an arbitrary
+3×3 (perspective) or 2×3 (affine) transform with bilinear interpolation,
+implemented as vectorized gathers. Everything else (aspect-preserving
+resize-with-pad, word-crop rectification from quads, flips/rotations for
+augmentation) is a matrix construction on top of it.
+
+Pixel-center convention matches cv2.resize INTER_LINEAR:
+``src = (dst + 0.5) * (src_size / dst_size) - 0.5`` — required for
+transcription parity with checkpoints trained on cv2-resized crops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _bilinear_gather(
+    img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, border: str = "zero"
+) -> jnp.ndarray:
+    """Sample img (H, W, C) at float coords x, y (each (Ho, Wo)).
+
+    border='zero' pads outside with 0 (warp/augment); 'clamp' replicates
+    edges (cv2.resize semantics, needed for exact resize parity).
+    """
+    H, W, C = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0)[..., None]
+    dy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def at(yi, xi):
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        if border == "clamp":
+            return v
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return jnp.where(inside[..., None], v, 0.0)
+
+    v00 = at(y0i, x0i)
+    v01 = at(y0i, x0i + 1)
+    v10 = at(y0i + 1, x0i)
+    v11 = at(y0i + 1, x0i + 1)
+    top = v00 * (1 - dx) + v01 * dx
+    bot = v10 * (1 - dx) + v11 * dx
+    return top * (1 - dy) + bot * dy
+
+
+def warp_bilinear(
+    images: jnp.ndarray,
+    matrices: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    border: str = "zero",
+) -> jnp.ndarray:
+    """Batched inverse-warp: out[p] = img[M @ p] with bilinear sampling.
+
+    images: (B, H, W, C); matrices: (B, 3, 3) mapping OUTPUT (x, y, 1)
+    homogeneous coords to INPUT coords; out_hw: static (Ho, Wo).
+    """
+    Ho, Wo = out_hw
+    ys = jax.lax.broadcasted_iota(jnp.float32, (Ho, Wo), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (Ho, Wo), 1)
+
+    def one(img, M):
+        # Coordinate math as explicit FMAs on the VPU — a (..,3)@(3,3) dot
+        # would be routed through the matmul unit at bf16-ish precision,
+        # which visibly shifts sample positions (~1e-2 px is already wrong).
+        w = M[2, 0] * xs + M[2, 1] * ys + M[2, 2]
+        w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+        sx = (M[0, 0] * xs + M[0, 1] * ys + M[0, 2]) / w
+        sy = (M[1, 0] * xs + M[1, 1] * ys + M[1, 2]) / w
+        return _bilinear_gather(img, sx, sy, border=border)
+
+    return jax.vmap(one)(images, matrices)
+
+
+def resize_matrix(src_hw, dst_hw) -> jnp.ndarray:
+    """3×3 matrix mapping dst pixel coords -> src coords, cv2 convention."""
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    sx = sw / dw
+    sy = sh / dh
+    return jnp.array(
+        [[sx, 0.0, 0.5 * sx - 0.5], [0.0, sy, 0.5 * sy - 0.5], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def resize_bilinear(images: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.INTER_LINEAR-compatible batched resize to a static size."""
+    B = images.shape[0]
+    M = jnp.tile(resize_matrix(images.shape[1:3], out_hw)[None], (B, 1, 1))
+    return warp_bilinear(images, M, out_hw, border="clamp")
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def resize_with_aspect_pad(
+    images: jnp.ndarray,
+    sizes: jnp.ndarray,
+    out_hw: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aspect-preserving resize of per-image valid regions onto a canvas.
+
+    images: (B, H, W, C) canvases whose top-left (sizes[b] = (h, w)) region
+    holds the real pixels (host decodes variable-size images into a fixed
+    canvas; device does the rest — the recognition 32×100 path).
+
+    Returns (out (B, Ho, Wo, C), widths (B,) valid output widths).
+    """
+    B = images.shape[0]
+    Ho, Wo = out_hw
+    h = sizes[:, 0].astype(jnp.float32)
+    w = sizes[:, 1].astype(jnp.float32)
+    scale = h / Ho  # fit height exactly (reference recognition convention)
+    out_w = jnp.minimum(jnp.round(w / scale), Wo)  # may truncate very wide
+    sx = w / jnp.maximum(out_w, 1.0)
+    sy = scale
+
+    zeros = jnp.zeros((B,), jnp.float32)
+    ones = jnp.ones((B,), jnp.float32)
+    M = jnp.stack(
+        [
+            jnp.stack([sx, zeros, 0.5 * sx - 0.5], axis=-1),
+            jnp.stack([zeros, sy, 0.5 * sy - 0.5], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=1,
+    )  # (B, 3, 3)
+    out = warp_bilinear(images, M, out_hw)
+    # Zero out columns beyond each image's valid width (padding).
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Ho, Wo), 2)
+    valid = col < out_w[:, None, None].astype(jnp.int32)
+    return out * valid[..., None], out_w.astype(jnp.int32)
+
+
+def normalize(
+    images: jnp.ndarray,
+    mean: Tuple[float, ...] = IMAGENET_MEAN,
+    std: Tuple[float, ...] = IMAGENET_STD,
+    scale: float = 1.0 / 255.0,
+) -> jnp.ndarray:
+    """(x * scale - mean) / std, channels-last."""
+    m = jnp.asarray(mean, images.dtype)
+    s = jnp.asarray(std, images.dtype)
+    return (images * scale - m) / s
+
+
+def perspective_matrix_from_quad(quad: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Homography mapping output-rect coords -> input quad coords.
+
+    quad: (4, 2) corners (x, y) ordered TL, TR, BR, BL. Solves the standard
+    8-unknown DLT system on device (replaces cv2.getPerspectiveTransform).
+    """
+    Ho, Wo = out_hw
+    dst = jnp.array(
+        [[0.0, 0.0], [Wo - 1.0, 0.0], [Wo - 1.0, Ho - 1.0], [0.0, Ho - 1.0]],
+        jnp.float32,
+    )
+    src = quad.astype(jnp.float32)
+
+    # For each correspondence (X: dst -> x: src): two rows of the DLT system.
+    def rows(d, s):
+        X, Y = d
+        x, y = s
+        return jnp.array(
+            [
+                [X, Y, 1, 0, 0, 0, -x * X, -x * Y],
+                [0, 0, 0, X, Y, 1, -y * X, -y * Y],
+            ],
+            jnp.float32,
+        ), jnp.array([x, y], jnp.float32)
+
+    A_rows, b_rows = jax.vmap(rows)(dst, src)
+    A = A_rows.reshape(8, 8)
+    b = b_rows.reshape(8)
+    h = jnp.linalg.solve(A, b)
+    return jnp.concatenate([h, jnp.ones((1,), jnp.float32)]).reshape(3, 3)
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def rectify_quads(
+    images: jnp.ndarray, quads: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Crop+rectify word quads to fixed crops (the detect->recognize bridge).
+
+    images: (B, H, W, C); quads: (B, K, 4, 2) in image coords (TL TR BR BL);
+    returns (B, K, Ho, Wo, C). Replaces cv2.warpPerspective in the e2e
+    pipeline (SURVEY.md §3.3 / config #5).
+    """
+    B, K = quads.shape[:2]
+
+    def per_image(img, qs):
+        Ms = jax.vmap(lambda q: perspective_matrix_from_quad(q, out_hw))(qs)
+        return jax.vmap(lambda M: warp_bilinear(img[None], M[None], out_hw)[0])(Ms)
+
+    return jax.vmap(per_image)(images, quads)
+
+
+# ---------------------------------------------------------------------------
+# On-device train-time augmentations (SURVEY.md §2.6 N7)
+# ---------------------------------------------------------------------------
+
+
+def augment_affine_matrix(
+    rng: jax.Array,
+    batch: int,
+    max_rotate: float = 10.0,
+    max_scale: float = 0.2,
+    max_shift: float = 0.05,
+    center_hw: Tuple[float, float] = (16.0, 50.0),
+) -> jnp.ndarray:
+    """Random inverse-affine matrices (B, 3, 3) around the image center."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    ang = jax.random.uniform(k1, (batch,), minval=-max_rotate, maxval=max_rotate)
+    ang = ang * (jnp.pi / 180.0)
+    sc = 1.0 + jax.random.uniform(k2, (batch,), minval=-max_scale, maxval=max_scale)
+    tx = jax.random.uniform(k3, (batch,), minval=-max_shift, maxval=max_shift)
+    ty = jax.random.uniform(k4, (batch,), minval=-max_shift, maxval=max_shift)
+    cy, cx = center_hw
+    cos, sin = jnp.cos(ang) / sc, jnp.sin(ang) / sc
+    tx = tx * 2 * cx
+    ty = ty * 2 * cy
+    # inverse transform: rotate/scale about center then shift
+    a = cos
+    b = sin
+    M = jnp.stack(
+        [
+            jnp.stack([a, b, cx - a * cx - b * cy + tx], axis=-1),
+            jnp.stack([-b, a, cy + b * cx - a * cy + ty], axis=-1),
+            jnp.stack([jnp.zeros_like(a), jnp.zeros_like(a), jnp.ones_like(a)], axis=-1),
+        ],
+        axis=1,
+    )
+    return M
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def augment_images(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    out_hw: Optional[Tuple[int, int]] = None,
+    brightness: float = 0.2,
+    contrast: float = 0.2,
+    max_rotate: float = 8.0,
+) -> jnp.ndarray:
+    """Geometric + photometric train-time augmentation, fully on device."""
+    B, H, W, C = images.shape
+    out_hw = out_hw or (H, W)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    M = augment_affine_matrix(k1, B, max_rotate=max_rotate, center_hw=(H / 2, W / 2))
+    out = warp_bilinear(images, M, out_hw)
+    br = jax.random.uniform(k2, (B, 1, 1, 1), minval=-brightness, maxval=brightness)
+    ct = 1.0 + jax.random.uniform(k3, (B, 1, 1, 1), minval=-contrast, maxval=contrast)
+    mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
+    return (out - mean) * ct + mean + br

@@ -1,0 +1,98 @@
+"""Checkpoint save/restore (reference: training/checkpoint.py +
+training/model_saver.py [U]; SURVEY.md §5.4).
+
+Primary format is orbax (sharded, async-capable, multi-host-safe); a plain
+msgpack fallback (flax.serialization) covers minimal environments. Resume
+restores step + params + optimizer + batch stats — strictly more than the
+reference's weights-level resume.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+from flax import serialization
+
+from ..core.registry import register
+from .train_step import TrainState
+
+
+@register
+class CheckpointManager:
+    def __init__(
+        self,
+        workspace: str,
+        keep: int = 5,
+        save_every_steps: int = 1000,
+        use_orbax: bool = True,
+        async_save: bool = True,
+    ):
+        self.dir = os.path.join(workspace, "checkpoints")
+        os.makedirs(self.dir, exist_ok=True)
+        self.keep = keep
+        self.save_every_steps = save_every_steps
+        self._mgr = None
+        if use_orbax:
+            try:
+                import orbax.checkpoint as ocp
+
+                self._mgr = ocp.CheckpointManager(
+                    os.path.abspath(self.dir),
+                    options=ocp.CheckpointManagerOptions(
+                        max_to_keep=keep,
+                        enable_async_checkpointing=async_save,
+                    ),
+                )
+            except Exception:
+                self._mgr = None  # msgpack fallback
+
+    # -- msgpack fallback ---------------------------------------------------
+    def _msgpack_path(self, step: int) -> str:
+        return os.path.join(self.dir, f"state_{step:08d}.msgpack")
+
+    def save(self, state: TrainState, step: Optional[int] = None, force: bool = False):
+        step = int(state.step) if step is None else step
+        if not force and self.save_every_steps and step % self.save_every_steps != 0:
+            return False
+        if self._mgr is not None:
+            import orbax.checkpoint as ocp
+
+            self._mgr.save(step, args=ocp.args.StandardSave(state))
+            return True
+        with open(self._msgpack_path(step), "wb") as f:
+            f.write(serialization.to_bytes(state))
+        self._prune()
+        return True
+
+    def _prune(self):
+        ckpts = sorted(
+            f for f in os.listdir(self.dir) if re.match(r"state_\d+\.msgpack", f)
+        )
+        for f in ckpts[: -self.keep]:
+            os.remove(os.path.join(self.dir, f))
+
+    def latest_step(self) -> Optional[int]:
+        if self._mgr is not None:
+            return self._mgr.latest_step()
+        ckpts = sorted(
+            f for f in os.listdir(self.dir) if re.match(r"state_\d+\.msgpack", f)
+        )
+        return int(re.findall(r"\d+", ckpts[-1])[0]) if ckpts else None
+
+    def restore(self, target: TrainState, step: Optional[int] = None) -> TrainState:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return target
+        if self._mgr is not None:
+            import orbax.checkpoint as ocp
+
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        with open(self._msgpack_path(step), "rb") as f:
+            return serialization.from_bytes(target, f.read())
+
+    def wait(self):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()

@@ -1,0 +1,125 @@
+"""Trainer: the epoch loop (reference: trainer.py [U], SURVEY.md §2.1/§3.1).
+
+restore -> for epoch: for batch: device_put(sharded) -> jitted train step
+(fwd+bwd+update in one XLA program) -> log -> periodic validate -> periodic
+save. Device ingest (normalize/augment) happens inside the step via the
+model's batch prep; host only decodes and stacks.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.registry import register
+from ..parallel.mesh import is_primary, make_mesh, shard_batch
+from ..utils.signal_monitor import SignalMonitor
+from .checkpoint import CheckpointManager
+from .logger import Logger
+from .train_step import OptimizerConfig, create_train_state, make_eval_step, make_train_step
+
+
+def _device_batch(batch: Dict, mesh) -> Dict:
+    arrs = {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, (np.ndarray, jax.Array)) and not isinstance(v, list)
+    }
+    if mesh is not None:
+        return shard_batch(arrs, mesh)
+    return arrs
+
+
+@register
+class Trainer:
+    def __init__(
+        self,
+        model,
+        loader,
+        optimizer: Optional[OptimizerConfig] = None,
+        workspace: str = "/tmp/megreader_tpu_exp",
+        epochs: int = 10,
+        log_every: int = 50,
+        validate_every_steps: int = 0,
+        validate_fn: Optional[Callable] = None,
+        checkpoint: Optional[CheckpointManager] = None,
+        signal_monitor: Optional[SignalMonitor] = None,
+        use_mesh: bool = True,
+        prepare_batch: Optional[Callable[[Dict], Dict]] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.loader = loader
+        self.optimizer = optimizer or OptimizerConfig()
+        self.epochs = epochs
+        self.log_every = log_every
+        self.validate_every_steps = validate_every_steps
+        self.validate_fn = validate_fn
+        self.workspace = workspace
+        self.logger = Logger(workspace)
+        self.checkpoint = checkpoint or CheckpointManager(workspace)
+        self.signal_monitor = signal_monitor or SignalMonitor()
+        self.mesh = make_mesh() if use_mesh else None
+        self.prepare_batch = prepare_batch
+        self.seed = seed
+
+    def train(self, resume: bool = True):
+        tx = self.optimizer.make()
+        sched = self.optimizer.make_schedule()
+
+        first = next(iter(self.loader))
+        if self.prepare_batch:
+            first = self.prepare_batch(first)
+        rng = jax.random.PRNGKey(self.seed)
+        state = create_train_state(self.model, rng, _device_batch(first, None), tx)
+        if resume:
+            state = self.checkpoint.restore(state)
+            if int(state.step) > 0:
+                self.logger.info(f"resumed at step {int(state.step)}")
+
+        step_fn = make_train_step(self.model, tx, mesh=self.mesh)
+        step = int(state.step)
+        t_log = time.time()
+        n_since = 0
+        stop = False
+
+        for epoch in range(self.epochs):
+            if stop:
+                break
+            for batch in self.loader:
+                if self.prepare_batch:
+                    batch = self.prepare_batch(batch)
+                db = _device_batch(batch, self.mesh)
+                state, metrics = step_fn(state, db)
+                step += 1
+                n_since += db["image"].shape[0]
+
+                if step % self.log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    self.logger.add_scalars(step, metrics)
+                    dt = time.time() - t_log
+                    self.logger.report(epoch, step, float(sched(step)), n_since / max(dt, 1e-6))
+                    t_log, n_since = time.time(), 0
+                    if self.signal_monitor.should_stop():
+                        self.logger.info("signal file detected: saving and stopping")
+                        stop = True
+                        break
+
+                if (
+                    self.validate_every_steps
+                    and self.validate_fn
+                    and step % self.validate_every_steps == 0
+                ):
+                    val_metrics = self.validate_fn(self.model, state)
+                    self.logger.metrics(step, val_metrics)
+
+                self.checkpoint.save(state, step)
+
+        self.checkpoint.save(state, step, force=True)
+        self.checkpoint.wait()
+        self.logger.info(f"training done at step {step}")
+        return state

@@ -1,0 +1,113 @@
+"""Connected components + region extraction vs cv2 oracle (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from megreader_tpu.ops.ccl import (
+    connected_components,
+    extract_regions,
+    regions_to_quads,
+    unclip_distance_for,
+)
+
+
+def _random_blobs(rng, H=64, W=96, n=5):
+    mask = np.zeros((H, W), bool)
+    for _ in range(n):
+        cy, cx = rng.integers(8, H - 8), rng.integers(8, W - 8)
+        h, w = rng.integers(3, 10), rng.integers(3, 14)
+        mask[max(0, cy - h // 2) : cy + h // 2 + 1, max(0, cx - w // 2) : cx + w // 2 + 1] = True
+    return mask
+
+
+def test_ccl_matches_cv2_component_count_and_membership():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    masks = np.stack([_random_blobs(rng) for _ in range(3)])
+    labels = np.asarray(connected_components(jnp.asarray(masks)))
+
+    for b in range(masks.shape[0]):
+        n_cv, cv_lbl = cv2.connectedComponents(
+            masks[b].astype(np.uint8), connectivity=4
+        )
+        ours = labels[b]
+        # same number of components
+        ours_ids = np.unique(ours[ours >= 0])
+        assert len(ours_ids) == n_cv - 1
+        # identical pixel partitions: map cv label -> our label must be 1:1
+        pairs = set()
+        for cv_id in range(1, n_cv):
+            sel = cv_lbl == cv_id
+            got = np.unique(ours[sel])
+            assert len(got) == 1  # one component, one label
+            pairs.add(int(got[0]))
+        assert len(pairs) == n_cv - 1
+
+
+def test_ccl_snake():
+    # A long snake tests label propagation speed (pointer jumping).
+    H, W = 32, 32
+    mask = np.zeros((H, W), bool)
+    for r in range(0, H, 2):
+        mask[r, :] = True
+        if (r // 2) % 2 == 0 and r + 1 < H:
+            mask[r + 1, W - 1] = True
+        elif r + 1 < H:
+            mask[r + 1, 0] = True
+    labels = np.asarray(connected_components(jnp.asarray(mask[None])))[0]
+    ids = np.unique(labels[labels >= 0])
+    assert len(ids) == 1  # all one snake
+
+
+def test_extract_regions_boxes():
+    mask = np.zeros((48, 64), bool)
+    mask[10:20, 5:25] = True  # box A: 10x20 at (5..24, 10..19)
+    mask[30:34, 40:60] = True  # box B: 4x20
+    scores = mask.astype(np.float32) * 0.8
+    labels = connected_components(jnp.asarray(mask[None]))
+    stats = extract_regions(labels, jnp.asarray(scores[None]), max_regions=8)
+
+    valid = np.asarray(stats["valid"][0])
+    assert valid.sum() == 2
+    areas = sorted(np.asarray(stats["area"][0])[valid].tolist(), reverse=True)
+    assert areas == [200.0, 80.0]
+    np.testing.assert_allclose(np.asarray(stats["score"][0])[valid], 0.8, rtol=1e-5)
+
+    quads = np.asarray(regions_to_quads(stats))[0]
+    # The largest region's quad should cover x in [4.5, 24.5], y in [9.5, 19.5]
+    order = np.argsort(-np.asarray(stats["area"][0]))
+    q = quads[order[0]]
+    assert q[:, 0].min() == pytest.approx(4.5, abs=0.6)
+    assert q[:, 0].max() == pytest.approx(24.5, abs=0.6)
+    assert q[:, 1].min() == pytest.approx(9.5, abs=0.6)
+    assert q[:, 1].max() == pytest.approx(19.5, abs=0.6)
+
+
+def test_rotated_region_angle():
+    # A 45° diagonal strip should produce theta ~ ±45°.
+    H = W = 64
+    mask = np.zeros((H, W), bool)
+    for i in range(40):
+        y, x = 10 + i // 2, 10 + i // 2
+        mask[y : y + 3, x : x + 3] = True
+    labels = connected_components(jnp.asarray(mask[None]))
+    stats = extract_regions(labels, jnp.asarray(mask[None].astype(np.float32)), max_regions=4)
+    th = float(np.asarray(stats["theta"][0][0]))
+    assert abs(abs(th) - np.pi / 4) < 0.15
+
+
+def test_unclip_grows_box():
+    mask = np.zeros((32, 32), bool)
+    mask[8:16, 8:24] = True
+    labels = connected_components(jnp.asarray(mask[None]))
+    stats = extract_regions(labels, jnp.asarray(mask[None].astype(np.float32)), max_regions=4)
+    d = unclip_distance_for(stats, ratio=1.5)
+    q0 = np.asarray(regions_to_quads(stats))[0, 0]
+    q1 = np.asarray(regions_to_quads(stats, d))[0, 0]
+    w0 = q0[:, 0].max() - q0[:, 0].min()
+    w1 = q1[:, 0].max() - q1[:, 0].min()
+    assert w1 > w0
+    assert float(d[0, 0]) > 0

@@ -1,0 +1,107 @@
+"""Detector model + representer + measurer tests (config #4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from megreader_tpu.models.detector import SegDetector
+from megreader_tpu.postproc import (
+    DetectionMeasurer,
+    RecognitionMeasurer,
+    SegDetectorRepresenter,
+    polygon_iou,
+)
+
+
+def test_detector_forward_and_loss():
+    model = SegDetector(fpn_dim=64, head_dim=16)
+    rng = jax.random.PRNGKey(0)
+    H = W = 64
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, H, W, 3)), jnp.float32
+    )
+    variables = model.init(rng, images)
+    maps = model.predict_maps(variables, images)
+    assert maps["prob"].shape == (1, H, W)
+    assert maps["binary"].shape == (1, H, W)
+
+    gt = np.zeros((1, H, W), np.float32)
+    gt[0, 20:30, 10:40] = 1.0
+    batch = {
+        "image": images,
+        "gt": jnp.asarray(gt),
+        "mask": jnp.ones((1, H, W), jnp.float32),
+        "thresh_map": jnp.asarray(gt * 0.5),
+        "thresh_mask": jnp.asarray(gt),
+    }
+
+    def loss_fn(params):
+        loss, (metrics, _) = model.loss(
+            {"params": params, "batch_stats": variables["batch_stats"]}, batch
+        )
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert gsum > 0
+
+
+def test_representer_extracts_boxes():
+    H, W = 64, 96
+    prob = np.zeros((1, H, W), np.float32)
+    prob[0, 10:20, 8:40] = 0.95
+    prob[0, 40:52, 50:80] = 0.9
+    rep = SegDetectorRepresenter(bin_thresh=0.3, box_thresh=0.5, unclip_ratio=0.0)
+    results = rep.represent(jnp.asarray(prob))
+    assert len(results) == 1
+    polys = results[0]["polygons"]
+    assert polys.shape[0] == 2
+    assert np.all(results[0]["scores"] >= 0.5)
+
+
+def test_representer_scales_to_original():
+    prob = np.zeros((1, 32, 32), np.float32)
+    prob[0, 8:16, 8:24] = 1.0
+    rep = SegDetectorRepresenter(box_thresh=0.5, unclip_ratio=0.0)
+    res = rep.represent(jnp.asarray(prob), scales=np.array([[2.0, 4.0]]))
+    q = res[0]["polygons"][0]
+    assert q[:, 0].max() > 40  # scaled x
+    assert q[:, 1].max() > 50  # scaled y
+
+
+def test_polygon_iou_basic():
+    a = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float64)
+    b = np.array([[5, 0], [15, 0], [15, 10], [5, 10]], np.float64)
+    assert polygon_iou(a, b) == pytest.approx(1 / 3, abs=1e-6)
+    assert polygon_iou(a, a) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_detection_measurer_protocol():
+    m = DetectionMeasurer()
+    gt = [
+        np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float64),
+        np.array([[20, 20], [30, 20], [30, 30], [20, 30]], np.float64),
+        np.array([[50, 50], [60, 50], [60, 60], [50, 60]], np.float64),  # ignored
+    ]
+    ignored = [False, False, True]
+    preds = [
+        np.array([[1, 1], [10, 1], [10, 10], [1, 10]], np.float64),  # match gt0
+        np.array([[51, 51], [59, 51], [59, 59], [51, 59]], np.float64),  # in ignore
+        np.array([[80, 80], [90, 80], [90, 90], [80, 90]], np.float64),  # FP
+    ]
+    raw = m.measure_one(preds, gt, ignored)
+    assert raw == {"tp": 1, "n_pred": 2, "n_gt": 2}
+    agg = m.gather([raw])
+    assert agg["precision"] == pytest.approx(0.5)
+    assert agg["recall"] == pytest.approx(0.5)
+    assert agg["hmean"] == pytest.approx(0.5)
+
+
+def test_recognition_measurer():
+    m = RecognitionMeasurer()
+    out = m.measure(["hello", "world", "abc"], ["hello", "World", "abd"])
+    assert out["accuracy"] == pytest.approx(2 / 3)
+    assert out["ned"] == pytest.approx((1.0 + 1.0 + (1 - 1 / 3)) / 3)

@@ -1,0 +1,103 @@
+"""Device ingest ops vs cv2 oracles: resize parity, rectify, normalize."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from megreader_tpu.ops.image import (
+    augment_images,
+    normalize,
+    perspective_matrix_from_quad,
+    rectify_quads,
+    resize_bilinear,
+    resize_with_aspect_pad,
+    warp_bilinear,
+)
+
+
+def test_resize_matches_cv2_inter_linear():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 60, 3)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(img[None]), (32, 100)))[0]
+    ref = cv2.resize(img, (100, 32), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_resize_upscale_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(1)
+    img = rng.random((16, 20, 1)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(img[None]), (32, 64)))[0, :, :, 0]
+    ref = cv2.resize(img[:, :, 0], (64, 32), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_aspect_pad_resize():
+    rng = np.random.default_rng(2)
+    # two crops on a 64x128 canvas: (40, 60) and (20, 110)
+    canvas = np.zeros((2, 64, 128, 3), np.float32)
+    canvas[0, :40, :60] = rng.random((40, 60, 3))
+    canvas[1, :20, :110] = rng.random((20, 110, 3))
+    sizes = jnp.asarray([[40, 60], [20, 110]], jnp.int32)
+    out, widths = resize_with_aspect_pad(jnp.asarray(canvas), sizes, (32, 100))
+    assert out.shape == (2, 32, 100, 3)
+    w0, w1 = int(widths[0]), int(widths[1])
+    assert w0 == round(60 / (40 / 32))  # 48
+    assert w1 == 100  # 110/(20/32)=176 -> clipped
+    # padding region is zero
+    assert float(jnp.abs(out[0, :, w0:]).max()) == 0.0
+    # content region is non-trivial
+    assert float(jnp.abs(out[0, :, :w0]).max()) > 0.1
+
+
+def test_normalize():
+    img = jnp.full((1, 4, 4, 3), 127.5)
+    out = normalize(img)
+    expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expected, rtol=1e-3)
+
+
+def test_perspective_identity():
+    # Quad == output rect corners -> identity mapping.
+    quad = jnp.asarray([[0.0, 0.0], [31.0, 0.0], [31.0, 15.0], [0.0, 15.0]])
+    M = perspective_matrix_from_quad(quad, (16, 32))
+    np.testing.assert_allclose(np.asarray(M), np.eye(3), atol=1e-4)
+
+
+def test_rectify_matches_cv2_warp():
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img = rng.random((64, 96, 3)).astype(np.float32)
+    quad = np.array([[10.0, 8.0], [70.0, 12.0], [68.0, 40.0], [8.0, 36.0]], np.float32)
+    out_hw = (32, 100)
+    ours = np.asarray(
+        rectify_quads(jnp.asarray(img[None]), jnp.asarray(quad[None, None]), out_hw)
+    )[0, 0]
+
+    dst = np.array(
+        [[0, 0], [out_hw[1] - 1, 0], [out_hw[1] - 1, out_hw[0] - 1], [0, out_hw[0] - 1]],
+        np.float32,
+    )
+    Mcv = cv2.getPerspectiveTransform(dst, quad)  # dst->src, matching ours
+    ref = cv2.warpPerspective(
+        img, Mcv, (out_hw[1], out_hw[0]), flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP
+    )
+    # interior pixels (borders differ by padding policy)
+    np.testing.assert_allclose(ours[2:-2, 2:-2], ref[2:-2, 2:-2], rtol=1e-3, atol=1e-3)
+
+
+def test_augment_shapes_and_determinism():
+    rng = jax.random.PRNGKey(7)
+    imgs = jnp.asarray(np.random.default_rng(4).random((2, 32, 100, 3)), jnp.float32)
+    a1 = augment_images(rng, imgs)
+    a2 = augment_images(rng, imgs)
+    assert a1.shape == imgs.shape
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))  # same key, same aug
+    a3 = augment_images(jax.random.PRNGKey(8), imgs)
+    assert float(jnp.abs(a3 - a1).max()) > 1e-3
