@@ -248,6 +248,43 @@ def rectify_quads(
     return jax.vmap(per_image)(images, quads)
 
 
+@partial(jax.jit, static_argnames=("out_hw",))
+def crop_resize_boxes(
+    images: jnp.ndarray, boxes: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Batched axis-aligned crop + resize: the detect->recognize bridge.
+
+    images: (B, H, W, C) pages; boxes: (B, K, 4) as (x0, y0, x1, y1) in
+    pixels; returns (B, K, Ho, Wo, C).
+
+    Separable per-crop bilinear weight matrices -> two batched matmuls on
+    the MXU (same trick as resize_with_aspect_pad; a gather warp here costs
+    ~20x more on TPU). Exact perspective rectification for rotated quads is
+    available via ``rectify_quads`` (gather path) when geometry demands it.
+    """
+    B, Hi, Wi, C = images.shape
+    K = boxes.shape[1]
+    Ho, Wo = out_hw
+    x0, y0, x1, y1 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    sw = (x1 - x0) / Wo  # (B, K)
+    sh = (y1 - y0) / Ho
+
+    oy = jax.lax.broadcasted_iota(jnp.float32, (B, K, Ho), 2)
+    ox = jax.lax.broadcasted_iota(jnp.float32, (B, K, Wo), 2)
+    src_y = y0[..., None] + (oy + 0.5) * sh[..., None] - 0.5
+    src_x = x0[..., None] + (ox + 0.5) * sw[..., None] - 0.5
+
+    iy = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, Hi), 3)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, Wi), 3)
+    sy = jnp.clip(src_y, 0.0, Hi - 1.0)
+    sx = jnp.clip(src_x, 0.0, Wi - 1.0)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - iy))  # (B,K,Ho,Hi)
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - ix))  # (B,K,Wo,Wi)
+
+    tmp = jnp.einsum("bkoi,biwc->bkowc", Wy, images)
+    return jnp.einsum("bkpw,bkowc->bkopc", Wx, tmp)
+
+
 # ---------------------------------------------------------------------------
 # On-device train-time augmentations (SURVEY.md §2.6 N7)
 # ---------------------------------------------------------------------------

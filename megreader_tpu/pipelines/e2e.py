@@ -1,0 +1,138 @@
+"""End-to-end page pipeline: detect -> crop -> recognize (judged config #5).
+
+The reference composes this on the host: detector maps -> CPU polygon
+extraction -> cv2 perspective crops -> recognizer batches (SURVEY.md §3.2/
+§3.3). Here the whole hot path is ONE jitted device program per page batch:
+
+  pages (B, H, W, 3)
+    -> SegDetectorNet -> prob maps (B, H, W)
+    -> binarize + CCL + region extraction (ops/ccl, device)
+    -> K fixed region slots/page, axis-aligned crop+resize via MXU matmuls
+       (ops/image.crop_resize_boxes)
+    -> (B*K, 32, 100, 3) -> CTC recognizer -> greedy decode
+    -> ids/lengths/valid masks to host, charset lookup (strings only)
+
+Static shapes throughout: K is a fixed max-regions budget; invalid slots
+are masked, not dropped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.charset import Charset
+from ..core.registry import register
+from ..ops.ccl import connected_components, extract_regions, regions_to_quads, unclip_distance_for
+from ..ops.ctc import ctc_greedy_decode
+from ..ops.image import crop_resize_boxes, normalize
+from ..ops.precision import cast_floats
+
+
+@register
+class E2EPipeline:
+    """detect -> crop -> recognize, batched multi-page, device-resident."""
+
+    def __init__(
+        self,
+        detector,
+        recognizer,
+        charset: Optional[Charset] = None,
+        max_regions: int = 32,
+        bin_thresh: float = 0.3,
+        box_thresh: float = 0.6,
+        unclip_ratio: float = 1.5,
+        crop_hw=(32, 100),
+        bf16: bool = False,
+    ):
+        self.detector = detector
+        self.recognizer = recognizer
+        self.charset = charset or Charset()
+        self.max_regions = max_regions
+        self.bin_thresh = bin_thresh
+        self.box_thresh = box_thresh
+        self.unclip_ratio = unclip_ratio
+        self.crop_hw = tuple(crop_hw)
+        self.bf16 = bf16
+        self._jitted = None
+
+    def _build(self, det_vars, rec_vars):
+        K = self.max_regions
+        Ho, Wo = self.crop_hw
+
+        def run(det_vars, rec_vars, pages):
+            B, H, W, _ = pages.shape
+            x = normalize(pages)
+            if self.bf16:
+                x = x.astype(jnp.bfloat16)
+            maps = self.detector.net.apply(det_vars, x, train=False)
+            prob = maps["prob"].astype(jnp.float32)
+
+            mask = prob > self.bin_thresh
+            labels = connected_components(mask)
+            stats = extract_regions(labels, prob, max_regions=K)
+            d = unclip_distance_for(stats, ratio=self.unclip_ratio)
+            quads = regions_to_quads(stats, d)  # (B, K, 4, 2)
+            valid = stats["valid"] & (stats["score"] >= self.box_thresh) & (
+                stats["area"] >= 8.0
+            )
+
+            x0 = jnp.clip(jnp.min(quads[..., 0], axis=-1), 0, W - 1)
+            x1 = jnp.clip(jnp.max(quads[..., 0], axis=-1), 1, W)
+            y0 = jnp.clip(jnp.min(quads[..., 1], axis=-1), 0, H - 1)
+            y1 = jnp.clip(jnp.max(quads[..., 1], axis=-1), 1, H)
+            boxes = jnp.stack([x0, y0, x1, y1], axis=-1)  # (B, K, 4)
+
+            crops = crop_resize_boxes(pages, boxes, (Ho, Wo))  # (B,K,Ho,Wo,C)
+            crops = normalize(crops.reshape(B * K, Ho, Wo, 3))
+            if self.bf16:
+                crops = crops.astype(jnp.bfloat16)
+            logits = self.recognizer.net.apply(rec_vars, crops, train=False)
+            T = logits.shape[1]
+            ids, lens = ctc_greedy_decode(
+                logits.astype(jnp.float32), jnp.full((B * K,), T, jnp.int32)
+            )
+            return {
+                "ids": ids.reshape(B, K, T),
+                "lengths": lens.reshape(B, K),
+                "quads": quads,
+                "boxes": boxes,
+                "scores": stats["score"],
+                "valid": valid,
+            }
+
+        return jax.jit(run)
+
+    def predict(self, det_vars, rec_vars, pages: jnp.ndarray) -> List[List[Dict]]:
+        """pages (B, H, W, 3) float32 [0,255] -> per-page detection dicts."""
+        if self.bf16:
+            det_vars = cast_floats(det_vars, jnp.bfloat16)
+            rec_vars = cast_floats(rec_vars, jnp.bfloat16)
+        if self._jitted is None:
+            self._jitted = self._build(det_vars, rec_vars)
+        out = self._jitted(det_vars, rec_vars, pages)
+        ids = np.asarray(out["ids"])
+        lens = np.asarray(out["lengths"])
+        quads = np.asarray(out["quads"])
+        scores = np.asarray(out["scores"])
+        valid = np.asarray(out["valid"])
+        results: List[List[Dict]] = []
+        for b in range(ids.shape[0]):
+            page = []
+            for k in range(ids.shape[1]):
+                if not valid[b, k]:
+                    continue
+                text = self.charset.decode(ids[b, k][: lens[b, k]])
+                page.append(
+                    {
+                        "polygon": quads[b, k],
+                        "text": text,
+                        "score": float(scores[b, k]),
+                    }
+                )
+            results.append(page)
+        return results

@@ -1,0 +1,67 @@
+"""End-to-end pipeline tests (config #5): synthetic page through
+detect -> crop -> recognize with an oracle detector prob map.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from megreader_tpu.core import Charset
+from megreader_tpu.models import CTCRecognizer
+from megreader_tpu.models.detector import SegDetector
+from megreader_tpu.ops.image import crop_resize_boxes
+from megreader_tpu.pipelines import E2EPipeline, RecognizerPredictor
+
+
+def test_crop_resize_boxes_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 96, 3)).astype(np.float32)
+    boxes = np.array([[[8.0, 10.0, 40.0, 26.0], [50.0, 30.0, 90.0, 60.0]]], np.float32)
+    out = np.asarray(
+        crop_resize_boxes(jnp.asarray(img[None]), jnp.asarray(boxes), (16, 48))
+    )
+    for k in range(2):
+        x0, y0, x1, y1 = boxes[0, k]
+        crop = img[int(y0) : int(y1), int(x0) : int(x1)]
+        ref = cv2.resize(crop, (48, 16), interpolation=cv2.INTER_LINEAR)
+        # Borders differ by design: we sample the page (true neighboring
+        # pixels) where cv2-of-a-slice clamps at the slice edge.
+        np.testing.assert_allclose(
+            out[0, k][1:-1, 1:-1], ref[1:-1, 1:-1], rtol=1e-3, atol=1e-3
+        )
+
+
+def test_e2e_pipeline_runs_and_masks_invalid():
+    det = SegDetector(fpn_dim=64, head_dim=16)
+    rec = CTCRecognizer(num_classes=37, hidden=32, num_encoder_layers=1)
+    rng = jax.random.PRNGKey(0)
+    H = W = 64
+    pages = jnp.asarray(
+        np.random.default_rng(1).random((2, H, W, 3)) * 255.0, jnp.float32
+    )
+    det_vars = det.init(rng, jnp.zeros((2, H, W, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((2, 32, 100, 3)))
+
+    pipe = E2EPipeline(det, rec, max_regions=8, box_thresh=0.0, bin_thresh=0.3)
+    results = pipe.predict(det_vars, rec_vars, pages)
+    assert len(results) == 2
+    for page in results:
+        for det_item in page:
+            assert "text" in det_item and "polygon" in det_item
+            assert det_item["polygon"].shape == (4, 2)
+
+
+def test_recognizer_predictor_strings():
+    cs = Charset()
+    rec = CTCRecognizer(num_classes=cs.num_classes, hidden=32, num_encoder_layers=1)
+    variables = rec.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 100, 3)))
+    pred = RecognizerPredictor(rec, cs)
+    canv = np.random.default_rng(0).random((2, 64, 256, 3)).astype(np.float32) * 255
+    sizes = np.array([[40, 120], [32, 200]], np.int32)
+    out = pred.predict(variables, canv, sizes)
+    assert len(out) == 2
+    assert all(isinstance(s, str) for s in out)
