@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint: ``python cli/eval.py experiments/<exp>.yaml
+[--step N] [--mode beam]`` — reference eval.py analog (SURVEY.md §3.2).
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import megreader_tpu.all  # noqa: F401
+from megreader_tpu.core import parse_cli_overrides
+from megreader_tpu.evaluation import evaluate
+from megreader_tpu.experiment import Experiment
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--mode", default="greedy", choices=["greedy", "beam"])
+    args, rest = ap.parse_known_args()
+
+    import jax
+
+    exp = Experiment.from_yaml(args.config, parse_cli_overrides(rest))
+
+    # Restore the latest (or given) checkpoint from the workspace.
+    from megreader_tpu.train import CheckpointManager, OptimizerConfig, create_train_state
+
+    first = exp.prepare(next(iter(exp.eval_loader or exp.train_loader)))
+    tx = exp.optimizer.make()
+    state = create_train_state(exp.model, jax.random.PRNGKey(0), first, tx)
+    mgr = CheckpointManager(exp.workspace)
+    state = mgr.restore(state, step=args.step)
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    metrics = evaluate(exp, variables, mode=args.mode)
+    print(json.dumps({"step": int(state.step), **metrics}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""Import every registrable component (the CLI's registry bootstrap)."""
+
+from .core.charset import AttentionCharset, Charset  # noqa: F401
+from .data.datasets import (  # noqa: F401
+    DetectionICDARDataset,
+    RecognitionListDataset,
+    SyntheticDetectionDataset,
+    SyntheticRecognitionDataset,
+)
+from .data.loader import Loader  # noqa: F401
+from .experiment import Experiment  # noqa: F401
+from .models.attention import AttentionRecognizer  # noqa: F401
+from .models.detector import SegDetector  # noqa: F401
+from .models.recognizer import CTCRecognizer  # noqa: F401
+from .models.recognizer2d import Ctc2dRecognizer  # noqa: F401
+from .pipelines.e2e import E2EPipeline  # noqa: F401
+from .pipelines.predictors import DetectorPredictor, RecognizerPredictor  # noqa: F401
+from .postproc.detection import SegDetectorRepresenter  # noqa: F401
+from .postproc.measurers import DetectionMeasurer, RecognitionMeasurer  # noqa: F401
+from .postproc.visualizer import DetectionVisualizer  # noqa: F401
+from .train.checkpoint import CheckpointManager  # noqa: F401
+from .train.logger import Logger  # noqa: F401
+from .train.train_step import OptimizerConfig  # noqa: F401
+from .train.trainer import Trainer  # noqa: F401
+from .utils.signal_monitor import SignalMonitor  # noqa: F401

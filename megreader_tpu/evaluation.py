@@ -1,0 +1,66 @@
+"""Evaluation loops: recognition accuracy/NED, detection P/R/H-mean.
+
+Role of the reference's ``eval.py`` path (SURVEY.md §3.2): model forward ->
+representer -> measurer, accumulated over the eval set. Decode and polygon
+extraction stay on device; only strings/corners cross to host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .experiment import Experiment
+from .postproc.detection import SegDetectorRepresenter
+from .postproc.measurers import DetectionMeasurer, RecognitionMeasurer
+from .pipelines.predictors import RecognizerPredictor
+
+
+def evaluate_recognition(exp: Experiment, variables, mode: str = "greedy") -> Dict[str, float]:
+    predictor = RecognizerPredictor(exp.model, exp.charset, crop_hw=exp.crop_hw, mode=mode)
+    measurer = RecognitionMeasurer()
+    preds, gts = [], []
+    assert exp.eval_loader is not None, "experiment has no eval dataset"
+    for batch in exp.eval_loader:
+        out = predictor.predict(variables, batch["image"], batch["size"])
+        preds.extend(out)
+        gts.extend(exp.charset.normalize(t) for t in batch["text"])
+    return measurer.measure(preds, gts)
+
+
+def evaluate_detection(
+    exp: Experiment,
+    variables,
+    representer: Optional[SegDetectorRepresenter] = None,
+) -> Dict[str, float]:
+    import jax
+
+    representer = representer or SegDetectorRepresenter()
+    measurer = DetectionMeasurer()
+    forward = jax.jit(
+        lambda v, x: exp.model.net.apply(v, x, train=False)["prob"]
+    )
+    raws = []
+    assert exp.eval_loader is not None, "experiment has no eval dataset"
+    for batch in exp.eval_loader:
+        x = exp.prepare(batch)["image"]
+        prob = forward(variables, x)
+        results = representer.represent(prob, scales=np.asarray(batch["scale"]))
+        for b, res in enumerate(results):
+            gt_scaled = [
+                p * np.asarray(batch["scale"][b])[None, :] for p in batch["polygons"][b]
+            ]
+            raws.append(
+                measurer.measure_one(
+                    list(res["polygons"]), gt_scaled, batch["ignore"][b]
+                )
+            )
+    return measurer.gather(raws)
+
+
+def evaluate(exp: Experiment, variables, mode: str = "greedy") -> Dict[str, float]:
+    if exp.task in ("CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"):
+        return evaluate_recognition(exp, variables, mode=mode)
+    return evaluate_detection(exp, variables)

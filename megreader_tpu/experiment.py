@@ -1,0 +1,129 @@
+"""Experiment: wire a YAML config into model/data/trainer/eval objects.
+
+Role of the reference's ``experiment.py`` [U] (SURVEY.md §2.1): the
+top-level object graph — structure (model + representer + measurer +
+visualizer), train settings (loader, optimizer, checkpoints, epochs),
+validation/evaluation settings, logger. Components are instantiated by the
+``class:`` registry (core/config.py); this module adds the task-aware glue
+(collate fns, device batch prep) that YAML can't express.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.charset import AttentionCharset, Charset
+from .core.config import Config
+from .core.registry import register
+from .data.loader import Loader, detection_collate, recognition_collate
+from .ops.image import normalize, resize_with_aspect_pad
+from .train.train_step import OptimizerConfig
+from .train.trainer import Trainer
+
+RECOGNITION_TASKS = {"CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"}
+DETECTION_TASKS = {"SegDetector"}
+
+
+def _recognition_prepare(batch: Dict, crop_hw=(32, 100)) -> Dict:
+    img, _w = resize_with_aspect_pad(
+        jnp.asarray(batch["image"], jnp.float32), jnp.asarray(batch["size"]), crop_hw
+    )
+    return {
+        "image": normalize(img),
+        "label": jnp.asarray(batch["label"]),
+        "label_length": jnp.asarray(batch["label_length"]),
+    }
+
+
+def _detection_prepare(batch: Dict) -> Dict:
+    return {
+        "image": normalize(jnp.asarray(batch["image"], jnp.float32)),
+        "gt": jnp.asarray(batch["gt"]),
+        "mask": jnp.asarray(batch["mask"]),
+        "thresh_map": jnp.asarray(batch["thresh_map"]),
+        "thresh_mask": jnp.asarray(batch["thresh_mask"]),
+    }
+
+
+@register
+class Experiment:
+    """Built from YAML: model + dataset + optimizer + trainer wiring."""
+
+    def __init__(
+        self,
+        model,
+        train_dataset=None,
+        eval_dataset=None,
+        optimizer: Optional[OptimizerConfig] = None,
+        charset=None,
+        workspace: str = "/tmp/megreader_tpu_exp",
+        batch_size: int = 64,
+        epochs: int = 10,
+        crop_hw=(32, 100),
+        max_label_len: int = 32,
+        log_every: int = 50,
+        use_mesh: bool = True,
+        name: str = "exp",
+    ):
+        self.model = model
+        self.task = model.__class__.__name__
+        self.workspace = workspace
+        self.name = name
+        self.crop_hw = tuple(crop_hw)
+
+        if charset is None:
+            charset = AttentionCharset() if self.task == "AttentionRecognizer" else Charset()
+        self.charset = charset
+
+        if self.task in RECOGNITION_TASKS:
+            collate = functools.partial(
+                recognition_collate, charset=self.charset, max_label_len=max_label_len
+            )
+            prepare = functools.partial(_recognition_prepare, crop_hw=self.crop_hw)
+        elif self.task in DETECTION_TASKS:
+            collate = detection_collate
+            prepare = _detection_prepare
+        else:
+            raise ValueError(f"unknown task for model {self.task}")
+        self.collate = collate
+        self.prepare = prepare
+
+        self.train_loader = (
+            Loader(train_dataset, batch_size, collate, shuffle=True, host_shard=True)
+            if train_dataset is not None
+            else None
+        )
+        self.eval_loader = (
+            Loader(eval_dataset, batch_size, collate, shuffle=False, drop_last=False)
+            if eval_dataset is not None
+            else None
+        )
+        self.optimizer = optimizer or OptimizerConfig()
+        self.epochs = epochs
+        self.log_every = log_every
+        self.use_mesh = use_mesh
+
+    def make_trainer(self) -> Trainer:
+        assert self.train_loader is not None, "experiment has no train dataset"
+        return Trainer(
+            model=self.model,
+            loader=self.train_loader,
+            optimizer=self.optimizer,
+            workspace=self.workspace,
+            epochs=self.epochs,
+            log_every=self.log_every,
+            use_mesh=self.use_mesh,
+            prepare_batch=self.prepare,
+        )
+
+    @staticmethod
+    def from_yaml(path: str, overrides: Optional[Dict[str, Any]] = None) -> "Experiment":
+        graph = Config.build(path, overrides)
+        exp = graph.get("experiment") if isinstance(graph, dict) else graph
+        if not isinstance(exp, Experiment):
+            raise ValueError(f"{path} must define an 'experiment:' node with class: Experiment")
+        return exp

@@ -1,0 +1,85 @@
+"""Experiment wiring from YAML + short end-to-end training smoke tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+import megreader_tpu.all  # noqa: F401
+from megreader_tpu.experiment import Experiment
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_experiment_from_yaml(tmp_path):
+    exp = Experiment.from_yaml(
+        os.path.join(REPO, "experiments/ctc_resnet18_synth.yaml"),
+        {
+            "experiment.batch_size": 8,
+            "experiment.epochs": 1,
+            "experiment.workspace": str(tmp_path),
+            "experiment.train_dataset.n": 16,
+            "experiment.eval_dataset.n": 8,
+            "experiment.model.hidden": 32,
+            "experiment.model.num_encoder_layers": 1,
+        },
+    )
+    assert exp.task == "CTCRecognizer"
+    assert exp.train_loader is not None and len(exp.train_loader) == 2
+    b = next(iter(exp.train_loader))
+    prepped = exp.prepare(b)
+    assert prepped["image"].shape == (8, 32, 100, 3)
+
+
+def test_short_training_then_eval(tmp_path):
+    """Config #1 micro-train: loss drops and eval produces metrics."""
+    exp = Experiment.from_yaml(
+        os.path.join(REPO, "experiments/ctc_resnet18_synth.yaml"),
+        {
+            "experiment.batch_size": 8,
+            "experiment.epochs": 2,
+            "experiment.workspace": str(tmp_path),
+            "experiment.train_dataset.n": 32,
+            "experiment.eval_dataset.n": 8,
+            "experiment.model.hidden": 32,
+            "experiment.model.num_encoder_layers": 1,
+            "experiment.optimizer.lr": 1.0e-3,
+            "experiment.log_every": 2,
+        },
+    )
+    trainer = exp.make_trainer()
+    state = trainer.train(resume=False)
+    assert int(state.step) == 8  # 2 epochs x 4 steps
+
+    from megreader_tpu.evaluation import evaluate
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    metrics = evaluate(exp, variables)
+    assert set(metrics) >= {"accuracy", "ned", "n"}
+    assert metrics["n"] == 8
+
+
+def test_detection_experiment_wiring(tmp_path):
+    exp = Experiment.from_yaml(
+        os.path.join(REPO, "experiments/seg_detector_synth.yaml"),
+        {
+            "experiment.batch_size": 2,
+            "experiment.workspace": str(tmp_path),
+            "experiment.train_dataset.n": 4,
+            "experiment.train_dataset.hw": [64, 64],
+            "experiment.eval_dataset.n": 2,
+            "experiment.eval_dataset.hw": [64, 64],
+            "experiment.model.fpn_dim": 32,
+            "experiment.model.head_dim": 8,
+        },
+    )
+    assert exp.task == "SegDetector"
+    b = next(iter(exp.train_loader))
+    p = exp.prepare(b)
+    assert p["image"].shape == (2, 64, 64, 3)
+    assert p["gt"].shape == (2, 64, 64)
