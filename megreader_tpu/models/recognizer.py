@@ -72,6 +72,7 @@ class CTCRecognizer:
         hidden: int = 256,
         num_encoder_layers: int = 2,
         blank: int = 0,
+        loss_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
     ):
         self.net = CTCRecognizerNet(
             num_classes=num_classes,
@@ -82,6 +83,11 @@ class CTCRecognizer:
         )
         self.num_classes = num_classes
         self.blank = blank
+        if loss_impl == "auto":
+            import jax
+
+            loss_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.loss_impl = loss_impl
 
     def init(self, rng, sample_images):
         return self.net.init(rng, sample_images, train=False)
@@ -101,9 +107,18 @@ class CTCRecognizer:
         logits, new_state = out if train else (out, {})
         B, T, _ = logits.shape
         logit_lengths = jnp.full((B,), T, dtype=jnp.int32)
-        loss = ctc_loss(
-            logits, logit_lengths, batch["label"], batch["label_length"], blank=self.blank
-        )
+        if self.loss_impl == "pallas":
+            from ..ops.pallas_ctc import ctc_loss_pallas
+
+            loss = ctc_loss_pallas(
+                logits, logit_lengths, batch["label"], batch["label_length"],
+                blank=self.blank,
+            )
+        else:
+            loss = ctc_loss(
+                logits, logit_lengths, batch["label"], batch["label_length"],
+                blank=self.blank,
+            )
         metrics = {"loss": loss}
         return loss, (metrics, new_state)
 
