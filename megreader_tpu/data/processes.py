@@ -27,9 +27,24 @@ def polygon_perimeter(poly: np.ndarray) -> float:
 
 
 def offset_polygon(poly: np.ndarray, distance: float) -> np.ndarray:
-    """Offset a polygon by `distance` (negative = shrink) via edge-normal
-    shift + adjacent-edge intersection. Exact for convex polygons (ICDAR
-    quads); near-degenerate intersections fall back to vertex translation.
+    """Offset a polygon by `distance` (negative = shrink). Dispatches to the
+    native C++ kernel (megreader_tpu.native) when built; numpy fallback.
+    """
+    poly = np.asarray(poly, np.float64)
+    if len(poly) < 3:
+        return poly
+    from .. import native
+
+    fast = native.offset_polygon(poly, distance)
+    if fast is not None:
+        return fast
+    return offset_polygon_numpy(poly, distance)
+
+
+def offset_polygon_numpy(poly: np.ndarray, distance: float) -> np.ndarray:
+    """Edge-normal shift + adjacent-edge intersection. Exact for convex
+    polygons (ICDAR quads); near-degenerate intersections fall back to
+    vertex translation.
     """
     poly = np.asarray(poly, np.float64)
     n = len(poly)

@@ -64,6 +64,11 @@ def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
 
 
 def polygon_iou(p1: np.ndarray, p2: np.ndarray) -> float:
+    from .. import native
+
+    fast = native.polygon_iou(p1, p2)
+    if fast is not None:
+        return fast
     inter_poly = clip_polygon(p1.astype(np.float64), p2.astype(np.float64))
     if len(inter_poly) < 3:
         return 0.0
