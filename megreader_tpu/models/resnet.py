@@ -38,11 +38,12 @@ def _conv(features, kernel, stride, name=None, use_bias=False):
 
 
 class BasicBlock(nn.Module):
-    """2×(3×3 conv) residual block (ResNet-18/34)."""
+    """2×(3×3 conv) residual block (ResNet-18/34); optional DCNv2 conv2."""
 
     features: int
     stride: Tuple[int, int] = (1, 1)
     expansion: int = 1
+    use_dcn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,7 +51,12 @@ class BasicBlock(nn.Module):
         y = _conv(self.features, 3, self.stride, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
         y = nn.relu(y)
-        y = _conv(self.features, 3, (1, 1), name="conv2")(y)
+        if self.use_dcn:
+            from .deform import DeformableConv
+
+            y = DeformableConv(self.features, name="conv2")(y)
+        else:
+            y = _conv(self.features, 3, (1, 1), name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
         if residual.shape[-1] != self.features or self.stride != (1, 1):
             residual = nn.Conv(
@@ -113,6 +119,9 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     variant: str = "det"
     width: int = 64
+    #: 1-based stage indices whose blocks use deformable conv2 (the
+    #: reference's deformable-ResNet swaps 3x3 convs in later stages).
+    dcn_stages: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -143,11 +152,15 @@ class ResNet(nn.Module):
 
         feats = []
         for i, (n_blocks, stride) in enumerate(zip(self.stage_sizes, stage_strides)):
+            kw = {}
+            if self.block is BasicBlock and (i + 1) in tuple(self.dcn_stages):
+                kw["use_dcn"] = True
             for j in range(n_blocks):
                 y = self.block(
                     features=self.width * (2**i),
                     stride=stride if j == 0 else (1, 1),
                     name=f"layer{i + 1}_block{j}",
+                    **kw,
                 )(y, train=train)
             feats.append(y)
 
