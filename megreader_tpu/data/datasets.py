@@ -71,11 +71,16 @@ class DetectionICDARDataset:
         gt_dir: str,
         target_hw: Tuple[int, int] = (640, 640),
         shrink_ratio: float = 0.4,
+        augment: bool = False,
+        seed: int = 0,
     ):
         self.image_dir = image_dir
         self.gt_dir = gt_dir
         self.target_hw = target_hw
         self.shrink_ratio = shrink_ratio
+        self.augment = augment
+        self.seed = seed
+        self._epoch_salt = 0
         self.names = sorted(
             os.path.splitext(n)[0]
             for n in os.listdir(image_dir)
@@ -105,10 +110,20 @@ class DetectionICDARDataset:
             polys, ignored, texts = parse_icdar_gt(f.readlines())
 
         H, W = self.target_hw
-        h, w = img.shape[:2]
-        sx, sy = W / w, H / h
-        img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
-        polys = [p * np.array([sx, sy], np.float32) for p in polys]
+        if self.augment:
+            from .det_augment import augment_detection_sample
+
+            rng = np.random.default_rng(self.seed * 7_919 + i + self._epoch_salt)
+            self._epoch_salt += 1
+            out = augment_detection_sample(rng, img, polys, ignored, (H, W))
+            img, polys, ignored = out["image"], out["polygons"], out["ignore"]
+            texts = [""] * len(polys)  # crop drops the poly<->text pairing
+            sx = sy = 1.0
+        else:
+            h, w = img.shape[:2]
+            sx, sy = W / w, H / h
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+            polys = [p * np.array([sx, sy], np.float32) for p in polys]
 
         seg = make_seg_maps(polys, ignored, (H, W), self.shrink_ratio)
         border = make_border_maps(polys, ignored, (H, W), self.shrink_ratio)

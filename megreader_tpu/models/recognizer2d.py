@@ -68,12 +68,18 @@ class Ctc2dRecognizer:
         backbone: str = "resnet18",
         transition: str = "independent",
         blank: int = 0,
+        loss_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
     ):
         self.net = Ctc2dRecognizerNet(
             num_classes=num_classes, backbone=backbone, transition=transition
         )
         self.transition = transition
         self.blank = blank
+        if loss_impl == "auto":
+            import jax
+
+            loss_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.loss_impl = loss_impl
 
     def init(self, rng, sample_images):
         return self.net.init(rng, sample_images, train=False)
@@ -95,16 +101,40 @@ class Ctc2dRecognizer:
             emit, height = heads
             T = emit.shape[1]
             lengths = jnp.full((B,), T, dtype=jnp.int32)
-            loss = ctc2d_loss_independent(
-                emit, height, lengths, batch["label"], batch["label_length"], blank=self.blank
-            )
+            if self.loss_impl == "pallas":
+                # Heights marginalize per column (ops/ctc2d.fuse_heights), so
+                # the independent formulation rides the Pallas 1-D CTC kernel.
+                from ..ops.ctc2d import fuse_heights
+                from ..ops.pallas_ctc import _ctc_nll_pallas
+
+                fused = fuse_heights(emit, height)
+                nll = _ctc_nll_pallas(
+                    fused, lengths, batch["label"], batch["label_length"],
+                    self.blank, False,
+                )
+                denom = jnp.maximum(batch["label_length"], 1).astype(nll.dtype)
+                loss = jnp.mean(nll / denom)
+            else:
+                loss = ctc2d_loss_independent(
+                    emit, height, lengths, batch["label"], batch["label_length"],
+                    blank=self.blank,
+                )
         else:
             emit, trans, init = heads
             T = emit.shape[1]
             lengths = jnp.full((B,), T, dtype=jnp.int32)
-            loss = ctc2d_loss_markov(
-                emit, trans, init, lengths, batch["label"], batch["label_length"], blank=self.blank
-            )
+            if self.loss_impl == "pallas":
+                from ..ops.pallas_ctc2d import ctc2d_loss_markov_pallas
+
+                loss = ctc2d_loss_markov_pallas(
+                    emit, trans, init, lengths, batch["label"], batch["label_length"],
+                    blank=self.blank,
+                )
+            else:
+                loss = ctc2d_loss_markov(
+                    emit, trans, init, lengths, batch["label"], batch["label_length"],
+                    blank=self.blank,
+                )
         return loss, ({"loss": loss}, new_state)
 
     def decode(self, variables, images) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -112,3 +112,37 @@ def test_loader_shapes(tiny_setup):
     assert b["image"].shape == (8, 64, 256, 3)
     assert b["label"].shape == (8, 32)
     assert len(b["text"]) == 8
+
+
+def test_gradient_accumulation(tiny_setup):
+    """optax.MultiSteps: params frozen until `accumulate_steps` micro-steps.
+
+    (Exact full-batch equivalence does not hold with BatchNorm in train
+    mode — per-micro-batch statistics differ — so the test checks the
+    accumulation semantics, not numeric identity.)
+    """
+    cs, loader, model = tiny_setup
+    from megreader_tpu.train import OptimizerConfig, create_train_state, make_train_step
+
+    batch = _prep(next(iter(loader)))
+    half1 = {k: v[:4] for k, v in batch.items()}
+    half2 = {k: v[4:] for k, v in batch.items()}
+
+    tx_acc = OptimizerConfig(name="sgd", lr=0.01, momentum=0.0, weight_decay=0.0,
+                             schedule="constant", accumulate_steps=2).make()
+    s0 = create_train_state(model, jax.random.PRNGKey(0), batch, tx_acc)
+    acc_step = make_train_step(model, tx_acc, donate=False)
+
+    s1, _ = acc_step(s0, half1)
+    a0 = jax.tree_util.tree_leaves(s0.params)
+    a1 = jax.tree_util.tree_leaves(s1.params)
+    for x, y in zip(a0, a1):  # first micro-step: accumulate only, no update
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    s2, _ = acc_step(s1, half2)
+    a2 = jax.tree_util.tree_leaves(s2.params)
+    changed = sum(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max()) > 0
+        for x, y in zip(a1, a2)
+    )
+    assert changed > len(a2) * 0.5  # second micro-step applies the update
