@@ -146,17 +146,27 @@ def make_border_maps(
         dilated = offset_polygon(poly, d)
         if not np.all(np.isfinite(dilated)):
             continue
-        cv2.fillPoly(mask, [dilated.astype(np.int32)], 1.0)
-        # distance to the polygon border, normalized by d, inside the band
-        band = np.zeros((H, W), np.uint8)
-        cv2.fillPoly(band, [dilated.astype(np.int32)], 1)
-        inner = np.zeros((H, W), np.uint8)
-        cv2.fillPoly(inner, [poly.astype(np.int32)], 1)
-        border = np.zeros((H, W), np.uint8)
-        cv2.polylines(border, [poly.astype(np.int32)], True, 1)
+        # Work inside the dilated polygon's bbox (+1 px) only — a full-page
+        # distanceTransform per polygon makes GT generation input-bound.
+        x0 = max(0, int(np.floor(dilated[:, 0].min())) - 1)
+        y0 = max(0, int(np.floor(dilated[:, 1].min())) - 1)
+        x1 = min(W, int(np.ceil(dilated[:, 0].max())) + 2)
+        y1 = min(H, int(np.ceil(dilated[:, 1].max())) + 2)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        wh, ww = y1 - y0, x1 - x0
+        off = np.array([x0, y0], np.float32)
+        dil_l = (dilated - off).astype(np.int32)
+        poly_l = (poly - off).astype(np.int32)
+
+        band = np.zeros((wh, ww), np.uint8)
+        cv2.fillPoly(band, [dil_l], 1)
+        border = np.zeros((wh, ww), np.uint8)
+        cv2.polylines(border, [poly_l], True, 1)
         dist = cv2.distanceTransform((1 - border).astype(np.uint8), cv2.DIST_L2, 3)
         falloff = np.clip(1.0 - dist / max(d, 1e-6), 0.0, 1.0)
-        canvas = np.maximum(canvas, falloff * band)
+        canvas[y0:y1, x0:x1] = np.maximum(canvas[y0:y1, x0:x1], falloff * band)
+        mask[y0:y1, x0:x1] = np.maximum(mask[y0:y1, x0:x1], band.astype(np.float32))
     thresh_map = canvas * (thresh_max - thresh_min) + thresh_min
     return {"thresh_map": thresh_map.astype(np.float32), "thresh_mask": mask}
 

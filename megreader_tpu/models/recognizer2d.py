@@ -137,12 +137,24 @@ class Ctc2dRecognizer:
                 )
         return loss, ({"loss": loss}, new_state)
 
-    def decode(self, variables, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def decode(
+        self, variables, images, mode: str = "greedy", beam_width: int = 8
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         heads = self.net.apply(variables, images, train=False)
         B = images.shape[0]
         if self.transition == "independent":
             emit, height = heads
             lengths = jnp.full((B,), emit.shape[1], dtype=jnp.int32)
+            if mode == "beam":
+                # Heights marginalize per column; beam-search the fused
+                # 1-D posterior (paper's beam variant, SURVEY.md §2.4).
+                from ..ops.ctc import ctc_beam_decode
+                from ..ops.ctc2d import fuse_heights
+
+                fused = fuse_heights(emit, height)
+                return ctc_beam_decode(
+                    fused, lengths, beam_width=beam_width, blank=self.blank
+                )
             return ctc2d_greedy_decode(emit, height, lengths, blank=self.blank)
         emit, trans, init = heads
         lengths = jnp.full((B,), emit.shape[1], dtype=jnp.int32)
