@@ -28,10 +28,14 @@ RECOGNITION_TASKS = {"CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"}
 DETECTION_TASKS = {"SegDetector"}
 
 
-def _recognition_prepare(batch: Dict, crop_hw=(32, 100)) -> Dict:
+def _recognition_prepare(batch: Dict, crop_hw=(32, 100), augment_rng=None) -> Dict:
     img, _w = resize_with_aspect_pad(
         jnp.asarray(batch["image"], jnp.float32), jnp.asarray(batch["size"]), crop_hw
     )
+    if augment_rng is not None:
+        from .ops.image import augment_images
+
+        img = augment_images(augment_rng, img, out_hw=tuple(crop_hw))
     return {
         "image": normalize(img),
         "label": jnp.asarray(batch["label"]),
@@ -67,6 +71,7 @@ class Experiment:
         max_label_len: int = 32,
         log_every: int = 50,
         use_mesh: bool = True,
+        augment: bool = False,
         name: str = "exp",
     ):
         self.model = model
@@ -83,7 +88,20 @@ class Experiment:
             collate = functools.partial(
                 recognition_collate, charset=self.charset, max_label_len=max_label_len
             )
-            prepare = functools.partial(_recognition_prepare, crop_hw=self.crop_hw)
+            if augment:
+                import jax
+
+                self._aug_step = 0
+
+                def prepare(batch, _self=self):
+                    _self._aug_step += 1
+                    rng = jax.random.PRNGKey(_self._aug_step)
+                    return _recognition_prepare(
+                        batch, crop_hw=_self.crop_hw, augment_rng=rng
+                    )
+
+            else:
+                prepare = functools.partial(_recognition_prepare, crop_hw=self.crop_hw)
         elif self.task in DETECTION_TASKS:
             collate = detection_collate
             prepare = _detection_prepare

@@ -41,3 +41,22 @@ def test_forward_loss_decode(transition):
 
     ids, lens = model.decode(variables, images)
     assert ids.shape[0] == 2 and int(lens.max()) <= 25
+
+
+def test_beam_decode_independent():
+    model = Ctc2dRecognizer(num_classes=37, transition="independent", loss_impl="xla")
+    rng = jax.random.PRNGKey(0)
+    images = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 32, 100, 3)), jnp.float32
+    )
+    variables = model.init(rng, images)
+    gi, gl = model.decode(variables, images, mode="greedy")
+    bi, bl = model.decode(variables, images, mode="beam", beam_width=4)
+    assert bi.shape[0] == 2 and int(bl.max()) <= 25
+
+
+def test_loss_impl_selection():
+    # auto resolves to xla off-TPU; pallas numeric equivalence is covered by
+    # tests/test_pallas_ctc2d.py in interpret mode.
+    model = Ctc2dRecognizer(num_classes=37, transition="markov", loss_impl="auto")
+    assert model.loss_impl == "xla"
