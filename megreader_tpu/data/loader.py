@@ -42,7 +42,15 @@ def recognition_collate(samples: Sequence[Dict], charset: Charset, max_label_len
 
 
 def detection_collate(samples: Sequence[Dict]) -> Dict:
+    """Stacks with compact wire dtypes: images stay uint8, binary maps go
+    uint8, the threshold regression target float16 — the device casts after
+    transfer (host->device bandwidth is the detection-train bottleneck)."""
     batch = {k: np.stack([s[k] for s in samples]) for k in _STACK_KEYS_DET if k in samples[0]}
+    for k in ("gt", "mask", "thresh_mask"):
+        if k in batch:
+            batch[k] = batch[k].astype(np.uint8)
+    if "thresh_map" in batch:
+        batch["thresh_map"] = batch["thresh_map"].astype(np.float16)
     for k in _LIST_KEYS:
         if k in samples[0]:
             batch[k] = [s[k] for s in samples]

@@ -29,8 +29,11 @@ DETECTION_TASKS = {"SegDetector"}
 
 
 def _recognition_prepare(batch: Dict, crop_hw=(32, 100), augment_rng=None) -> Dict:
+    # uint8 over the wire, cast on device.
     img, _w = resize_with_aspect_pad(
-        jnp.asarray(batch["image"], jnp.float32), jnp.asarray(batch["size"]), crop_hw
+        jnp.asarray(batch["image"]).astype(jnp.float32),
+        jnp.asarray(batch["size"]),
+        crop_hw,
     )
     if augment_rng is not None:
         from .ops.image import augment_images
@@ -44,12 +47,14 @@ def _recognition_prepare(batch: Dict, crop_hw=(32, 100), augment_rng=None) -> Di
 
 
 def _detection_prepare(batch: Dict) -> Dict:
+    # Transfer compact dtypes (uint8/f16 from detection_collate), cast on
+    # device — 4x less host->device traffic.
     return {
-        "image": normalize(jnp.asarray(batch["image"], jnp.float32)),
-        "gt": jnp.asarray(batch["gt"]),
-        "mask": jnp.asarray(batch["mask"]),
-        "thresh_map": jnp.asarray(batch["thresh_map"]),
-        "thresh_mask": jnp.asarray(batch["thresh_mask"]),
+        "image": normalize(jnp.asarray(batch["image"]).astype(jnp.float32)),
+        "gt": jnp.asarray(batch["gt"]).astype(jnp.float32),
+        "mask": jnp.asarray(batch["mask"]).astype(jnp.float32),
+        "thresh_map": jnp.asarray(batch["thresh_map"]).astype(jnp.float32),
+        "thresh_mask": jnp.asarray(batch["thresh_mask"]).astype(jnp.float32),
     }
 
 

@@ -87,37 +87,51 @@ class Trainer:
         n_since = 0
         stop = False
 
+        def do_step(db, epoch):
+            nonlocal state, step, n_since, t_log, stop
+            state, metrics = step_fn(state, db)
+            step += 1
+            n_since += db["image"].shape[0]
+
+            if step % self.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                self.logger.add_scalars(step, metrics)
+                dt = time.time() - t_log
+                self.logger.report(epoch, step, float(sched(step)), n_since / max(dt, 1e-6))
+                t_log, n_since = time.time(), 0
+                if self.signal_monitor.should_stop():
+                    self.logger.info("signal file detected: saving and stopping")
+                    stop = True
+
+            if (
+                self.validate_every_steps
+                and self.validate_fn
+                and step % self.validate_every_steps == 0
+            ):
+                val_metrics = self.validate_fn(self.model, state)
+                self.logger.metrics(step, val_metrics)
+
+            self.checkpoint.save(state, step)
+
         for epoch in range(self.epochs):
             if stop:
                 break
+            # Pipeline: enqueue the NEXT batch's host->device transfer before
+            # dispatching the step on the current one — the async dispatch
+            # overlaps H2D with device compute (the tunnel transfer is the
+            # bottleneck for detection-sized batches).
+            pending = None
             for batch in self.loader:
                 if self.prepare_batch:
                     batch = self.prepare_batch(batch)
                 db = _device_batch(batch, self.mesh)
-                state, metrics = step_fn(state, db)
-                step += 1
-                n_since += db["image"].shape[0]
-
-                if step % self.log_every == 0:
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    self.logger.add_scalars(step, metrics)
-                    dt = time.time() - t_log
-                    self.logger.report(epoch, step, float(sched(step)), n_since / max(dt, 1e-6))
-                    t_log, n_since = time.time(), 0
-                    if self.signal_monitor.should_stop():
-                        self.logger.info("signal file detected: saving and stopping")
-                        stop = True
-                        break
-
-                if (
-                    self.validate_every_steps
-                    and self.validate_fn
-                    and step % self.validate_every_steps == 0
-                ):
-                    val_metrics = self.validate_fn(self.model, state)
-                    self.logger.metrics(step, val_metrics)
-
-                self.checkpoint.save(state, step)
+                if pending is not None:
+                    do_step(pending, epoch)
+                pending = db
+                if stop:
+                    break
+            if pending is not None and not stop:
+                do_step(pending, epoch)
 
         self.checkpoint.save(state, step, force=True)
         self.checkpoint.wait()
