@@ -80,7 +80,6 @@ class DetectionICDARDataset:
         self.shrink_ratio = shrink_ratio
         self.augment = augment
         self.seed = seed
-        self._epoch_salt = 0
         self.names = sorted(
             os.path.splitext(n)[0]
             for n in os.listdir(image_dir)
@@ -113,8 +112,9 @@ class DetectionICDARDataset:
         if self.augment:
             from .det_augment import augment_detection_sample
 
-            rng = np.random.default_rng(self.seed * 7_919 + i + self._epoch_salt)
-            self._epoch_salt += 1
+            # Deterministic per (seed, index); bump `seed` per epoch from the
+            # caller for fresh augmentations (thread-safe, no shared state).
+            rng = np.random.default_rng(self.seed * 7_919 + i)
             out = augment_detection_sample(rng, img, polys, ignored, (H, W))
             img, polys, ignored = out["image"], out["polygons"], out["ignore"]
             texts = [""] * len(polys)  # crop drops the poly<->text pairing

@@ -71,6 +71,7 @@ class Loader:
         seed: int = 0,
         prefetch: int = 2,
         host_shard: bool = False,
+        workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -80,6 +81,11 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.host_shard = host_shard
+        # Thread pool for intra-batch sample fetch (cv2/np release the GIL;
+        # the reference used fork()ed worker processes — threads suffice
+        # here because the heavy pixel work lives on device).
+        self.workers = workers
+        self._pool = None
         self.epoch = 0
 
     def _indices(self) -> np.ndarray:
@@ -97,12 +103,22 @@ class Loader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _fetch(self, chunk) -> Dict:
+        if self.workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            samples = list(self._pool.map(self.dataset.__getitem__, [int(i) for i in chunk]))
+        else:
+            samples = [self.dataset[int(i)] for i in chunk]
+        return self.collate(samples)
+
     def _batches(self) -> Iterator[Dict]:
         idx = self._indices()
         end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
         for s in range(0, end, self.batch_size):
-            chunk = idx[s : s + self.batch_size]
-            yield self.collate([self.dataset[int(i)] for i in chunk])
+            yield self._fetch(idx[s : s + self.batch_size])
 
     def __iter__(self) -> Iterator[Dict]:
         self.epoch += 1
