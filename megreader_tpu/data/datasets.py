@@ -153,7 +153,13 @@ _WORDS = (
 
 @register
 class SyntheticRecognitionDataset:
-    """Rendered word crops: white-ish text on dark noise, exact labels."""
+    """Rendered word crops: white-ish text on dark noise, exact labels.
+
+    Rendering parameters deliberately match SyntheticDetectionDataset's
+    per-word rendering (same font / scale range / thickness / colors), plus
+    random margin jitter around the text box — so a recognizer trained here
+    transfers to crops produced by the detector in the e2e pipeline.
+    """
 
     def __init__(
         self,
@@ -161,11 +167,13 @@ class SyntheticRecognitionDataset:
         canvas_hw: Tuple[int, int] = (64, 256),
         charset: Optional[Charset] = None,
         seed: int = 0,
+        max_margin: int = 5,
     ):
         self.n = n
         self.canvas_hw = canvas_hw
         self.charset = charset or Charset()
         self.seed = seed
+        self.max_margin = max_margin
 
     def __len__(self):
         return self.n
@@ -175,21 +183,21 @@ class SyntheticRecognitionDataset:
 
         rng = np.random.default_rng(self.seed * 1_000_003 + i)
         text = _WORDS[int(rng.integers(len(_WORDS)))]
-        h = int(rng.integers(24, 48))
-        scale = h / 24.0
-        w = min(int(len(text) * 14 * scale + 12), self.canvas_hw[1])
-        img = (rng.random((h, w, 3)) * 60).astype(np.uint8)
-        cv2.putText(
-            img,
-            text,
-            (4, h - max(4, int(6 * scale))),
-            cv2.FONT_HERSHEY_SIMPLEX,
-            0.7 * scale,
-            (230, 230, 230),
-            max(1, int(1.5 * scale)),
-            cv2.LINE_AA,
-        )
+        fs = float(rng.uniform(0.8, 2.0))
+        (tw, th), _b = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, fs, 2)
+        m = [int(rng.integers(0, self.max_margin + 1)) for _ in range(4)]  # l t r b
+        h = th + 4 + m[1] + m[3]
+        w = tw + m[0] + m[2]
         H, W = self.canvas_hw
+        img = (rng.random((h, w, 3)) * 50).astype(np.uint8)
+        cv2.putText(
+            img, text, (m[0], m[1] + th), cv2.FONT_HERSHEY_SIMPLEX, fs,
+            (235, 235, 235), 2, cv2.LINE_AA,
+        )
+        if h > H or w > W:
+            s = min(H / h, W / w)
+            img = cv2.resize(img, (max(1, int(w * s)), max(1, int(h * s))))
+            h, w = img.shape[:2]
         canvas = np.zeros((H, W, 3), np.uint8)
         canvas[:h, :w] = img
         return {"image": canvas, "size": np.array([h, w], np.int32), "text": text}

@@ -77,6 +77,7 @@ class Experiment:
         log_every: int = 50,
         use_mesh: bool = True,
         augment: bool = False,
+        validate_every_steps: int = 0,
         name: str = "exp",
     ):
         self.model = model
@@ -129,9 +130,20 @@ class Experiment:
         self.epochs = epochs
         self.log_every = log_every
         self.use_mesh = use_mesh
+        self.validate_every_steps = validate_every_steps
 
     def make_trainer(self) -> Trainer:
         assert self.train_loader is not None, "experiment has no train dataset"
+        validate_fn = None
+        if self.validate_every_steps and self.eval_loader is not None:
+            def validate_fn(model, state):
+                from .evaluation import evaluate
+
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                return evaluate(self, variables)
+
         return Trainer(
             model=self.model,
             loader=self.train_loader,
@@ -141,6 +153,8 @@ class Experiment:
             log_every=self.log_every,
             use_mesh=self.use_mesh,
             prepare_batch=self.prepare,
+            validate_every_steps=self.validate_every_steps,
+            validate_fn=validate_fn,
         )
 
     @staticmethod

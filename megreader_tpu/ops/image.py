@@ -248,9 +248,12 @@ def rectify_quads(
     return jax.vmap(per_image)(images, quads)
 
 
-@partial(jax.jit, static_argnames=("out_hw",))
+@partial(jax.jit, static_argnames=("out_hw", "aspect"))
 def crop_resize_boxes(
-    images: jnp.ndarray, boxes: jnp.ndarray, out_hw: Tuple[int, int]
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    aspect: str = "stretch",
 ) -> jnp.ndarray:
     """Batched axis-aligned crop + resize: the detect->recognize bridge.
 
@@ -266,8 +269,16 @@ def crop_resize_boxes(
     K = boxes.shape[1]
     Ho, Wo = out_hw
     x0, y0, x1, y1 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
-    sw = (x1 - x0) / Wo  # (B, K)
     sh = (y1 - y0) / Ho
+    if aspect == "stretch":
+        sw = (x1 - x0) / Wo  # (B, K)
+    elif aspect == "preserve_h":
+        # Same scale on both axes (height fits exactly) — word crops stay
+        # undistorted and left-aligned with zero padding, matching the
+        # recognizer's training-time resize_with_aspect_pad distribution.
+        sw = sh
+    else:
+        raise ValueError(f"unknown aspect mode {aspect!r}")
 
     oy = jax.lax.broadcasted_iota(jnp.float32, (B, K, Ho), 2)
     ox = jax.lax.broadcasted_iota(jnp.float32, (B, K, Wo), 2)
@@ -282,7 +293,12 @@ def crop_resize_boxes(
     Wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - ix))  # (B,K,Wo,Wi)
 
     tmp = jnp.einsum("bkoi,biwc->bkowc", Wy, images)
-    return jnp.einsum("bkpw,bkowc->bkopc", Wx, tmp)
+    out = jnp.einsum("bkpw,bkowc->bkopc", Wx, tmp)
+    if aspect == "preserve_h":
+        out_w = (x1 - x0) / jnp.maximum(sw, 1e-6)  # valid output columns
+        col = jax.lax.broadcasted_iota(jnp.float32, (B, K, 1, Wo, 1), 3)
+        out = out * (col < out_w[:, :, None, None, None])
+    return out
 
 
 # ---------------------------------------------------------------------------

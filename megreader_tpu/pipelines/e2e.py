@@ -47,6 +47,7 @@ class E2EPipeline:
         box_thresh: float = 0.6,
         unclip_ratio: float = 1.5,
         crop_hw=(32, 100),
+        box_margin: float = 4.0,
         bf16: bool = False,
     ):
         self.detector = detector
@@ -57,6 +58,7 @@ class E2EPipeline:
         self.box_thresh = box_thresh
         self.unclip_ratio = unclip_ratio
         self.crop_hw = tuple(crop_hw)
+        self.box_margin = box_margin
         self.bf16 = bf16
         self._jitted = None
 
@@ -81,13 +83,16 @@ class E2EPipeline:
                 stats["area"] >= 8.0
             )
 
-            x0 = jnp.clip(jnp.min(quads[..., 0], axis=-1), 0, W - 1)
-            x1 = jnp.clip(jnp.max(quads[..., 0], axis=-1), 1, W)
-            y0 = jnp.clip(jnp.min(quads[..., 1], axis=-1), 0, H - 1)
-            y1 = jnp.clip(jnp.max(quads[..., 1], axis=-1), 1, H)
+            m = self.box_margin
+            x0 = jnp.clip(jnp.min(quads[..., 0], axis=-1) - m, 0, W - 1)
+            x1 = jnp.clip(jnp.max(quads[..., 0], axis=-1) + m, 1, W)
+            y0 = jnp.clip(jnp.min(quads[..., 1], axis=-1) - m, 0, H - 1)
+            y1 = jnp.clip(jnp.max(quads[..., 1], axis=-1) + m, 1, H)
             boxes = jnp.stack([x0, y0, x1, y1], axis=-1)  # (B, K, 4)
 
-            crops = crop_resize_boxes(pages, boxes, (Ho, Wo))  # (B,K,Ho,Wo,C)
+            crops = crop_resize_boxes(
+                pages, boxes, (Ho, Wo), aspect="preserve_h"
+            )  # (B,K,Ho,Wo,C) — undistorted, left-aligned like training crops
             crops = normalize(crops.reshape(B * K, Ho, Wo, 3))
             if self.bf16:
                 crops = crops.astype(jnp.bfloat16)
