@@ -30,15 +30,16 @@ DETECTION_TASKS = {"SegDetector"}
 
 def _recognition_prepare(batch: Dict, crop_hw=(32, 100), augment_rng=None) -> Dict:
     # uint8 over the wire, cast on device.
-    img, _w = resize_with_aspect_pad(
-        jnp.asarray(batch["image"]).astype(jnp.float32),
-        jnp.asarray(batch["size"]),
-        crop_hw,
-    )
+    images = jnp.asarray(batch["image"]).astype(jnp.float32)
+    sizes = jnp.asarray(batch["size"])
     if augment_rng is not None:
-        from .ops.image import augment_images
+        from .ops.image import augment_resize_with_aspect_pad
 
-        img = augment_images(augment_rng, img, out_hw=tuple(crop_hw))
+        img, _w = augment_resize_with_aspect_pad(
+            augment_rng, images, sizes, tuple(crop_hw)
+        )
+    else:
+        img, _w = resize_with_aspect_pad(images, sizes, tuple(crop_hw))
     return {
         "image": normalize(img),
         "label": jnp.asarray(batch["label"]),

@@ -145,6 +145,7 @@ def resize_with_aspect_pad(
     images: jnp.ndarray,
     sizes: jnp.ndarray,
     out_hw: Tuple[int, int],
+    jitter: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Aspect-preserving resize of per-image valid regions onto a canvas.
 
@@ -171,6 +172,15 @@ def resize_with_aspect_pad(
     ox = jax.lax.broadcasted_iota(jnp.float32, (B, Wo), 1)
     src_y = (oy + 0.5) * sy[:, None] - 0.5
     src_x = (ox + 0.5) * sx[:, None] - 0.5
+    if jitter is not None:
+        # Train-time geometric augmentation folded into the resampling
+        # matrices: per-image scale (B, 2) and shift-in-src-pixels (B, 2),
+        # axes (y, x). Costs nothing extra — the TPU-native way to jitter.
+        jscale, jshift = jitter
+        cy = (h - 1.0) / 2.0
+        cx_ = (w - 1.0) / 2.0
+        src_y = (src_y - cy[:, None]) * jscale[:, 0:1] + cy[:, None] + jshift[:, 0:1]
+        src_x = (src_x - cx_[:, None]) * jscale[:, 1:2] + cx_[:, None] + jshift[:, 1:2]
     Wy = _axis_resize_weights(src_y, Hi, sizes[:, 0])  # (B, Ho, Hi)
     Wx = _axis_resize_weights(src_x, Wi, sizes[:, 1])  # (B, Wo, Wi)
 
@@ -337,6 +347,35 @@ def augment_affine_matrix(
         axis=1,
     )
     return M
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def augment_resize_with_aspect_pad(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    sizes: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    max_scale_jitter: float = 0.12,
+    max_shift: float = 1.5,
+    brightness: float = 0.15,
+    contrast: float = 0.15,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused ingest + augmentation for recognition training: the geometric
+    jitter rides the separable resize matrices (zero extra compute vs the
+    plain resize — a gather-warp augment costs ~20x the whole model fwd),
+    photometric jitter is elementwise after.
+    """
+    B = images.shape[0]
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    jscale = 1.0 + jax.random.uniform(
+        k1, (B, 2), minval=-max_scale_jitter, maxval=max_scale_jitter
+    )
+    jshift = jax.random.uniform(k2, (B, 2), minval=-max_shift, maxval=max_shift)
+    out, widths = resize_with_aspect_pad(images, sizes, out_hw, jitter=(jscale, jshift))
+    br = jax.random.uniform(k3, (B, 1, 1, 1), minval=-brightness, maxval=brightness) * 255.0
+    ct = 1.0 + jax.random.uniform(k4, (B, 1, 1, 1), minval=-contrast, maxval=contrast)
+    mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
+    return (out - mean) * ct + mean + br, widths
 
 
 @partial(jax.jit, static_argnames=("out_hw",))

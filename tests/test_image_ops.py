@@ -101,3 +101,32 @@ def test_augment_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))  # same key, same aug
     a3 = augment_images(jax.random.PRNGKey(8), imgs)
     assert float(jnp.abs(a3 - a1).max()) > 1e-3
+
+
+def test_fused_augment_resize():
+    from megreader_tpu.ops.image import augment_resize_with_aspect_pad
+
+    rng = np.random.default_rng(5)
+    canvas = np.zeros((2, 64, 128, 3), np.float32)
+    canvas[0, :40, :60] = rng.random((40, 60, 3)) * 255
+    canvas[1, :20, :110] = rng.random((20, 110, 3)) * 255
+    sizes = jnp.asarray([[40, 60], [20, 110]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    a1, w1 = augment_resize_with_aspect_pad(key, jnp.asarray(canvas), sizes, (32, 100))
+    a2, w2 = augment_resize_with_aspect_pad(key, jnp.asarray(canvas), sizes, (32, 100))
+    assert a1.shape == (2, 32, 100, 3)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))  # deterministic
+    a3, _ = augment_resize_with_aspect_pad(
+        jax.random.PRNGKey(1), jnp.asarray(canvas), sizes, (32, 100)
+    )
+    assert float(jnp.abs(a3 - a1).max()) > 1e-3  # different key, different jitter
+    # zero-jitter limit equals the plain resize
+    from megreader_tpu.ops.image import resize_with_aspect_pad
+
+    plain, _ = resize_with_aspect_pad(jnp.asarray(canvas), sizes, (32, 100))
+    zj, _ = augment_resize_with_aspect_pad(
+        key, jnp.asarray(canvas), sizes, (32, 100),
+        max_scale_jitter=0.0, max_shift=0.0, brightness=0.0, contrast=0.0,
+    )
+    # (out - mean) + mean round-trip costs a few ulps at 255-scale
+    np.testing.assert_allclose(np.asarray(zj), np.asarray(plain), atol=2e-3)
