@@ -145,6 +145,111 @@ class DetectionMeasurer:
         return {"precision": precision, "recall": recall, "hmean": hmean}
 
 
+@register
+class DetEvalMeasurer:
+    """DetEval (ICDAR2013) area-based protocol: one-to-one, one-to-many and
+    many-to-one matches via area-recall/area-precision matrices
+    (thresholds tr=0.8, tp=0.4; split matches score 0.8) — the reference's
+    second detection protocol (SURVEY.md §2.5).
+    """
+
+    def __init__(self, tr: float = 0.8, tp: float = 0.4, split_penalty: float = 0.8):
+        self.tr = tr
+        self.tp = tp
+        self.split_penalty = split_penalty
+
+    def measure_one(
+        self,
+        pred_polys: Sequence[np.ndarray],
+        gt_polys: Sequence[np.ndarray],
+        gt_ignored: Sequence[bool],
+    ) -> Dict[str, float]:
+        care_gt = [g for g, ig in zip(gt_polys, gt_ignored) if not ig]
+        ignore_gt = [g for g, ig in zip(gt_polys, gt_ignored) if ig]
+        preds = [
+            p
+            for p in pred_polys
+            if not any(
+                polygon_intersection_over_self(p, ig) > 0.5 for ig in ignore_gt
+            )
+        ]
+        nG, nD = len(care_gt), len(preds)
+        if nG == 0 or nD == 0:
+            return {"recall_acc": 0.0, "precision_acc": 0.0, "n_gt": nG, "n_pred": nD}
+
+        def inter(a, b):
+            poly = clip_polygon(a.astype(np.float64), b.astype(np.float64))
+            return polygon_area(poly) if len(poly) >= 3 else 0.0
+
+        R = np.zeros((nG, nD))
+        P = np.zeros((nG, nD))
+        for i, g in enumerate(care_gt):
+            ag = polygon_area(g)
+            for j, d in enumerate(preds):
+                ad = polygon_area(d)
+                x = inter(g, d)
+                R[i, j] = x / ag if ag > 0 else 0.0
+                P[i, j] = x / ad if ad > 0 else 0.0
+
+        gt_score = np.zeros(nG)
+        det_score = np.zeros(nD)
+        gt_used = np.zeros(nG, bool)
+        det_used = np.zeros(nD, bool)
+
+        # one-to-one
+        for i in range(nG):
+            for j in range(nD):
+                if (
+                    R[i, j] >= self.tr
+                    and P[i, j] >= self.tp
+                    and (R[i, :] >= self.tr).sum() == 1
+                    and (P[:, j] >= self.tp).sum() == 1
+                ):
+                    gt_score[i] = det_score[j] = 1.0
+                    gt_used[i] = det_used[j] = True
+
+        # one gt -> many dets (split): sum of recalls over qualifying dets
+        for i in range(nG):
+            if gt_used[i]:
+                continue
+            js = [j for j in range(nD) if not det_used[j] and P[i, j] >= self.tp]
+            if len(js) >= 2 and R[i, js].sum() >= self.tr:
+                gt_score[i] = self.split_penalty
+                for j in js:
+                    det_score[j] = self.split_penalty
+                    det_used[j] = True
+                gt_used[i] = True
+
+        # many gts -> one det (merge)
+        for j in range(nD):
+            if det_used[j]:
+                continue
+            is_ = [i for i in range(nG) if not gt_used[i] and R[i, j] >= self.tr]
+            if len(is_) >= 2 and P[is_, j].sum() >= self.tp:
+                det_score[j] = self.split_penalty
+                for i in is_:
+                    gt_score[i] = self.split_penalty
+                    gt_used[i] = True
+                det_used[j] = True
+
+        return {
+            "recall_acc": float(gt_score.sum()),
+            "precision_acc": float(det_score.sum()),
+            "n_gt": nG,
+            "n_pred": nD,
+        }
+
+    def gather(self, raws: List[Dict[str, float]]) -> Dict[str, float]:
+        rec = sum(r["recall_acc"] for r in raws)
+        prec = sum(r["precision_acc"] for r in raws)
+        n_gt = sum(r["n_gt"] for r in raws)
+        n_pred = sum(r["n_pred"] for r in raws)
+        recall = rec / n_gt if n_gt else 0.0
+        precision = prec / n_pred if n_pred else 0.0
+        hmean = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        return {"precision": precision, "recall": recall, "hmean": hmean}
+
+
 # ---------------------------------------------------------------------------
 # Recognition measurer
 # ---------------------------------------------------------------------------

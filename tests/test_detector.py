@@ -105,3 +105,34 @@ def test_recognition_measurer():
     out = m.measure(["hello", "world", "abc"], ["hello", "World", "abd"])
     assert out["accuracy"] == pytest.approx(2 / 3)
     assert out["ned"] == pytest.approx((1.0 + 1.0 + (1 - 1 / 3)) / 3)
+
+
+def test_deteval_protocol():
+    from megreader_tpu.postproc.measurers import DetEvalMeasurer
+
+    m = DetEvalMeasurer()
+
+    def box(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64)
+
+    gt = [box(0, 0, 100, 20), box(0, 40, 100, 60)]
+    ignored = [False, False]
+
+    # one-to-one on gt0; split (two halves) on gt1
+    preds = [
+        box(1, 1, 99, 19),
+        box(0, 40, 50, 60),
+        box(50, 40, 100, 60),
+    ]
+    raw = m.measure_one(preds, gt, ignored)
+    assert raw["recall_acc"] == pytest.approx(1.0 + 0.8)
+    assert raw["precision_acc"] == pytest.approx(1.0 + 0.8 + 0.8)
+    agg = m.gather([raw])
+    assert agg["recall"] == pytest.approx(1.8 / 2)
+    assert agg["precision"] == pytest.approx(2.6 / 3)
+
+    # merge: one det covers both gts
+    preds2 = [box(0, 0, 100, 60)]
+    raw2 = m.measure_one(preds2, gt, ignored)
+    assert raw2["recall_acc"] == pytest.approx(1.6)
+    assert raw2["precision_acc"] == pytest.approx(0.8)
