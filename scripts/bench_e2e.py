@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Full-page detect+recognize throughput + p50 latency (BASELINE targets:
->=100 pages/s, p50 tracked). Same slope-timing discipline as bench.py
-(axon tunnel: ~25 ms sync overhead, async dispatch).
+>=100 pages/s, p50 tracked). Times the real E2EPipeline device program via
+slope timing (see bench.py notes on the axon tunnel).
+
+Usage: bench_e2e.py [postproc_stride]   (default 1 = exact postproc)
 """
 
 import functools
@@ -20,16 +22,10 @@ def main():
 
     from megreader_tpu.models import CTCRecognizer
     from megreader_tpu.models.detector import SegDetector
-    from megreader_tpu.ops.ccl import (
-        connected_components,
-        extract_regions,
-        regions_to_quads,
-        unclip_distance_for,
-    )
-    from megreader_tpu.ops.ctc import ctc_greedy_decode
-    from megreader_tpu.ops.image import crop_resize_boxes, normalize
     from megreader_tpu.ops.precision import cast_floats
+    from megreader_tpu.pipelines import E2EPipeline
 
+    stride = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     B, H, W, K = 8, 640, 640, 32
     det = SegDetector()
     rec = CTCRecognizer(num_classes=37)
@@ -37,31 +33,19 @@ def main():
     det_vars = cast_floats(det.init(rng, jnp.zeros((1, H, W, 3))), jnp.bfloat16)
     rec_vars = cast_floats(rec.init(rng, jnp.zeros((1, 32, 100, 3))), jnp.bfloat16)
 
+    pipe = E2EPipeline(
+        det, rec, max_regions=K, postproc_stride=stride, bf16=True
+    )
+    run = pipe._build(det_vars, rec_vars)
+
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(det_vars, rec_vars, pages, iters):
         def body(carry, _):
-            pg = pages + carry * 1e-6
-            x = normalize(pg).astype(jnp.bfloat16)
-            maps = det.net.apply(det_vars, x, train=False)
-            prob = maps["prob"].astype(jnp.float32)
-            m = prob > 0.3
-            labels = connected_components(m)
-            stats = extract_regions(labels, prob, max_regions=K)
-            d = unclip_distance_for(stats)
-            quads = regions_to_quads(stats, d)
-            x0 = jnp.clip(jnp.min(quads[..., 0], -1), 0, W - 1)
-            x1 = jnp.clip(jnp.max(quads[..., 0], -1), 1, W)
-            y0 = jnp.clip(jnp.min(quads[..., 1], -1), 0, H - 1)
-            y1 = jnp.clip(jnp.max(quads[..., 1], -1), 1, H)
-            boxes = jnp.stack([x0, y0, x1, y1], -1)
-            crops = crop_resize_boxes(pg, boxes, (32, 100))
-            crops = normalize(crops.reshape(B * K, 32, 100, 3)).astype(jnp.bfloat16)
-            logits = rec.net.apply(rec_vars, crops, train=False)
-            ids, lens = ctc_greedy_decode(
-                logits.astype(jnp.float32),
-                jnp.full((B * K,), logits.shape[1], jnp.int32),
-            )
-            return (jnp.sum(ids) + jnp.sum(lens)).astype(jnp.float32) * 1e-9, None
+            out = run(det_vars, rec_vars, pages + carry * 1e-6)
+            checksum = (
+                jnp.sum(out["ids"]) + jnp.sum(out["lengths"])
+            ).astype(jnp.float32) + jnp.sum(out["quads"]) * 1e-9
+            return checksum * 1e-9, None
 
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return out
@@ -85,6 +69,7 @@ def main():
         json.dumps(
             {
                 "metric": "full_page_detect_recognize_images_per_sec",
+                "postproc_stride": stride,
                 "value": round(pages_per_sec, 2),
                 "unit": "pages/s",
                 "p50_batch_latency_ms": round(per_batch * 1e3, 2),
