@@ -20,7 +20,11 @@ from .registry import register
 
 DIGITS = "0123456789"
 LOWERCASE = "abcdefghijklmnopqrstuvwxyz"
+UPPERCASE = LOWERCASE.upper()
+PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ "
 DEFAULT_ALPHABET = DIGITS + LOWERCASE  # 36 chars; indices 1..36, blank=0
+#: case-sensitive alnum + printable punctuation (the reference's larger set)
+FULL_ALPHABET = DIGITS + LOWERCASE + UPPERCASE + PUNCTUATION
 
 
 @register

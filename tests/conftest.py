@@ -11,12 +11,14 @@ chip, serialized over the tunnel.
 import os
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# Persistent compilation cache: big grad graphs take minutes to compile on
-# CPU; cache them across pytest processes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: big grad graphs take minutes to compile on
+# CPU; cache them across pytest processes. (Env vars are ignored on this
+# image — the config API works.)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
