@@ -311,6 +311,58 @@ def crop_resize_boxes(
     return out
 
 
+def _shear_x(crops: jnp.ndarray, shift_per_row: jnp.ndarray) -> jnp.ndarray:
+    """out[k, y, x] = crops[k, y, x + shift_per_row[k, y]] (bilinear, zero pad).
+
+    Per-row fractional shifts as tent-weight matmuls — no gathers.
+    crops (K, H, W, C); shift_per_row (K, H).
+    """
+    K, H, W, C = crops.shape
+    ox = jax.lax.broadcasted_iota(jnp.float32, (K, H, W), 2)
+    src = ox + shift_per_row[:, :, None]  # (K, H, W)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, W), 3)
+    wmat = jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - ix))  # (K,H,Wo,Wi)
+    return jnp.einsum("khoi,khic->khoc", wmat, crops)
+
+
+def _shear_y(crops: jnp.ndarray, shift_per_col: jnp.ndarray) -> jnp.ndarray:
+    """out[k, y, x] = crops[k, y + shift_per_col[k, x], x]."""
+    K, H, W, C = crops.shape
+    oy = jax.lax.broadcasted_iota(jnp.float32, (K, W, H), 2)
+    src = oy + shift_per_col[:, :, None]  # (K, W, Ho)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, H), 3)
+    wmat = jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - iy))  # (K,W,Ho,Hi)
+    return jnp.einsum("kwoi,kiwc->kowc", wmat, crops)
+
+
+@jax.jit
+def rotate_crops(crops: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """Rotate each crop's content by -theta about its center (i.e. deskew a
+    region whose principal axis is at +theta), gather-free.
+
+    Classic three-shear rotation: R(θ) = Sx(-tan θ/2) Sy(sin θ) Sx(-tan θ/2),
+    each shear a per-row/column 1-D bilinear resample expressed as a
+    tent-weight matmul — the TPU replacement for cv2.warpAffine in the
+    detect->rectify->recognize path (SURVEY.md §2.6 N5). Three bilinear
+    passes cost slight extra blur vs one direct warp; angles are small for
+    text so the compounding is negligible.
+
+    crops (K, H, W, C); theta (K,) radians.
+    """
+    K, H, W, C = crops.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    a = -theta  # deskew
+    t_half = jnp.tan(a / 2.0)
+    s = jnp.sin(a)
+    y_rel = jax.lax.broadcasted_iota(jnp.float32, (K, H), 1) - cy
+    x_rel = jax.lax.broadcasted_iota(jnp.float32, (K, W), 1) - cx
+
+    out = _shear_x(crops, -t_half[:, None] * y_rel)
+    out = _shear_y(out, s[:, None] * x_rel)
+    out = _shear_x(out, -t_half[:, None] * y_rel)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # On-device train-time augmentations (SURVEY.md §2.6 N7)
 # ---------------------------------------------------------------------------
