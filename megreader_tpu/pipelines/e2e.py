@@ -49,6 +49,7 @@ class E2EPipeline:
         crop_hw=(32, 100),
         box_margin: float = 4.0,
         postproc_stride: int = 1,
+        deskew: bool = False,
         bf16: bool = False,
     ):
         self.detector = detector
@@ -64,6 +65,9 @@ class E2EPipeline:
         #: stride 2 costs ~4x less postproc at <=1 px box error (the box
         #: margin absorbs it); stride 1 is exact.
         self.postproc_stride = postproc_stride
+        #: straighten rotated regions (three-shear deskew by the component's
+        #: principal angle) before recognition — for rotated-text pages.
+        self.deskew = deskew
         self.bf16 = bf16
         self._jitted = None
 
@@ -109,7 +113,12 @@ class E2EPipeline:
             crops = crop_resize_boxes(
                 pages, boxes, (Ho, Wo), aspect="preserve_h"
             )  # (B,K,Ho,Wo,C) — undistorted, left-aligned like training crops
-            crops = normalize(crops.reshape(B * K, Ho, Wo, 3))
+            crops = crops.reshape(B * K, Ho, Wo, 3)
+            if self.deskew:
+                from ..ops.image import rotate_crops
+
+                crops = rotate_crops(crops, stats["theta"].reshape(B * K))
+            crops = normalize(crops)
             if self.bf16:
                 crops = crops.astype(jnp.bfloat16)
             logits = self.recognizer.net.apply(rec_vars, crops, train=False)

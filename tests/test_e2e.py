@@ -65,3 +65,16 @@ def test_recognizer_predictor_strings():
     out = pred.predict(variables, canv, sizes)
     assert len(out) == 2
     assert all(isinstance(s, str) for s in out)
+
+
+def test_e2e_deskew_option_runs():
+    det = SegDetector(fpn_dim=64, head_dim=16)
+    rec = CTCRecognizer(num_classes=37, hidden=32, num_encoder_layers=1)
+    rng = jax.random.PRNGKey(0)
+    pages = jnp.asarray(np.random.default_rng(4).random((1, 64, 64, 3)) * 255, jnp.float32)
+    det_vars = det.init(rng, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
+    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0, deskew=True,
+                       postproc_stride=2)
+    results = pipe.predict(det_vars, rec_vars, pages)
+    assert len(results) == 1
