@@ -20,6 +20,7 @@ def main():
     ap.add_argument("config")
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--mode", default="greedy", choices=["greedy", "beam"])
+    ap.add_argument("--protocol", default="icdar2015", choices=["icdar2015", "deteval"])
     args, rest = ap.parse_known_args()
 
     import jax
@@ -38,7 +39,7 @@ def main():
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    metrics = evaluate(exp, variables, mode=args.mode)
+    metrics = evaluate(exp, variables, mode=args.mode, protocol=args.protocol)
     print(json.dumps({"step": int(state.step), **metrics}))
 
 

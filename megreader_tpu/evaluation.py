@@ -34,11 +34,14 @@ def evaluate_detection(
     exp: Experiment,
     variables,
     representer: Optional[SegDetectorRepresenter] = None,
+    protocol: str = "icdar2015",  # or 'deteval'
 ) -> Dict[str, float]:
     import jax
 
+    from .postproc.measurers import DetEvalMeasurer
+
     representer = representer or SegDetectorRepresenter()
-    measurer = DetectionMeasurer()
+    measurer = DetEvalMeasurer() if protocol == "deteval" else DetectionMeasurer()
     forward = jax.jit(
         lambda v, x: exp.model.net.apply(v, x, train=False)["prob"]
     )
@@ -60,7 +63,9 @@ def evaluate_detection(
     return measurer.gather(raws)
 
 
-def evaluate(exp: Experiment, variables, mode: str = "greedy") -> Dict[str, float]:
+def evaluate(
+    exp: Experiment, variables, mode: str = "greedy", protocol: str = "icdar2015"
+) -> Dict[str, float]:
     if exp.task in ("CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"):
         return evaluate_recognition(exp, variables, mode=mode)
-    return evaluate_detection(exp, variables)
+    return evaluate_detection(exp, variables, protocol=protocol)
