@@ -61,3 +61,14 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def is_primary() -> bool:
     """Rank-0 analog for logging/saving (reference: local_rank == 0)."""
     return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-host sync point (multi-host runs; no-op single-host).
+
+    The torch.distributed.barrier() analog — e.g. before checkpoint reads.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

@@ -83,3 +83,32 @@ def test_detection_experiment_wiring(tmp_path):
     p = exp.prepare(b)
     assert p["image"].shape == (2, 64, 64, 3)
     assert p["gt"].shape == (2, 64, 64)
+
+
+def test_resume_continues_training(tmp_path):
+    """Train, stop, resume: step counter and params continue, not restart."""
+    overrides = {
+        "experiment.batch_size": 8,
+        "experiment.epochs": 1,
+        "experiment.workspace": str(tmp_path),
+        "experiment.train_dataset.n": 16,
+        "experiment.eval_dataset.n": 8,
+        "experiment.model.hidden": 16,
+        "experiment.model.num_encoder_layers": 1,
+        "experiment.log_every": 1,
+    }
+    exp = Experiment.from_yaml(
+        os.path.join(REPO, "experiments/ctc_resnet18_synth.yaml"), overrides
+    )
+    t1 = exp.make_trainer()
+    t1.checkpoint.save_every_steps = 1
+    s1 = t1.train(resume=False)
+    assert int(s1.step) == 2
+
+    exp2 = Experiment.from_yaml(
+        os.path.join(REPO, "experiments/ctc_resnet18_synth.yaml"),
+        {**overrides, "experiment.epochs": 2},
+    )
+    t2 = exp2.make_trainer()
+    s2 = t2.train(resume=True)  # restores step 2, continues
+    assert int(s2.step) == 2 + 4
