@@ -61,3 +61,19 @@ def test_transformer_encoder_variant():
     variables = model.init(rng, images)
     logits = model.apply(variables, images)
     assert logits.shape == (1, 25, 37)
+
+
+@pytest.mark.parametrize("backbone,feat", [("resnet34", 512), ("resnet50", 2048)])
+def test_deeper_backbones(backbone, feat):
+    from megreader_tpu.models.resnet import resnet_variant
+
+    net = resnet_variant(backbone, "rec")
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 100, 3)))
+    out = net.apply(variables, jnp.zeros((1, 32, 100, 3)))
+    assert out.shape == (1, 2, 25, feat)
+
+    det = resnet_variant(backbone, "det")
+    dv = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    feats = det.apply(dv, jnp.zeros((1, 64, 64, 3)))
+    assert len(feats) == 4
+    assert feats[0].shape[1] == 16 and feats[3].shape[1] == 2
