@@ -123,11 +123,43 @@ def _region_stats_single(
     K = max_regions
     flat_lbl = labels.reshape(-1)
     valid = flat_lbl >= 0
-    seg = jnp.where(valid, flat_lbl, 0)
     one = valid.astype(jnp.float32)
 
-    area_by_label = jax.ops.segment_sum(one, seg, num_segments=N)
-    top_area, top_root = jax.lax.top_k(area_by_label, K)
+    # Candidate roots without a scatter: a root is the pixel whose label is
+    # its own index (component minimum). Rank roots by local mask density
+    # (integral-image box sum — pure cumsums) and keep K2 candidates; their
+    # exact areas come from comparison-mask row sums. A segment_sum scatter
+    # over N costs ~25 ms/page-batch on v5e; this path ~3 ms. Caveat: with
+    # more than K2 components, only the densest K2 compete (ample for text;
+    # K2 = 4K).
+    K2 = max(4 * K, 64)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ).reshape(-1)
+    is_root = (flat_lbl == idx) & valid
+
+    R = 15  # density window half-size (31x31 box)
+    ii = jnp.cumsum(jnp.cumsum(one.reshape(H, W), axis=0), axis=1)
+    ii = jnp.pad(ii, ((1, 0), (1, 0)))  # ii[y, x] = sum over [0:y, 0:x)
+    # Edge-replicated pad so window clamping is a static slice, not a gather.
+    iipad = jnp.pad(ii, ((R, R + 1), (R, R + 1)), mode="edge")
+
+    def corner(dy, dx):
+        return jax.lax.dynamic_slice(iipad, (R + dy, R + dx), (H, W))
+
+    density = (
+        corner(R + 1, R + 1) - corner(-R, R + 1) - corner(R + 1, -R) + corner(-R, -R)
+    ).reshape(-1)
+    root_score = jnp.where(is_root, density + 1.0, 0.0)
+    cand_score, cand_idx = jax.lax.top_k(root_score, K2)
+    cand_alive = cand_score > 0.0
+
+    mask_c = (flat_lbl[None, :] == cand_idx[:, None]) & valid[None, :]  # (K2, N)
+    cand_area = jnp.sum(mask_c, axis=1).astype(jnp.float32) * cand_alive
+
+    top_area, sel = jax.lax.top_k(cand_area, K)
+    top_root = jnp.take(cand_idx, sel)
     region_valid = top_area > 0
 
     # (K, N) membership masks by comparison — VPU-wide, no gathers.

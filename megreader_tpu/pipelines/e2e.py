@@ -50,6 +50,7 @@ class E2EPipeline:
         box_margin: float = 4.0,
         postproc_stride: int = 1,
         deskew: bool = False,
+        ccl_iters: int = 24,
         bf16: bool = False,
     ):
         self.detector = detector
@@ -68,6 +69,10 @@ class E2EPipeline:
         #: straighten rotated regions (three-shear deskew by the component's
         #: principal angle) before recognition — for rotated-text pages.
         self.deskew = deskew
+        #: CCL sweep cap. Text components converge in <5 sweeps; the cap
+        #: bounds worst-case latency on adversarial masks (a hit means a
+        #: serpentine component splits into several boxes — benign).
+        self.ccl_iters = ccl_iters
         self.bf16 = bf16
         self._jitted = None
 
@@ -95,7 +100,7 @@ class E2EPipeline:
             else:
                 mask = prob > self.bin_thresh
                 prob_s = prob
-            labels = connected_components(mask)
+            labels = connected_components(mask, max_iters=self.ccl_iters)
             stats = extract_regions(labels, prob_s, max_regions=K)
             d = unclip_distance_for(stats, ratio=self.unclip_ratio)
             quads = regions_to_quads(stats, d) * s  # (B, K, 4, 2), full-res px
