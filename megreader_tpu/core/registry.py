@@ -9,7 +9,7 @@ analysis.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Optional, Type
+from typing import Dict, Iterator, Optional
 
 
 class Registry:

@@ -10,7 +10,7 @@ cv2 API shape expects.
 from __future__ import annotations
 
 import html
-import io
+
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
