@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""End-to-end page OCR CLI (judged config #5): detector + recognizer
+checkpoints -> per-page polygons + transcriptions (JSON lines), optional
+visualization.
+
+    python cli/pipeline.py \
+        --detector experiments/seg_detector_synth.yaml --det-workspace W1 \
+        --recognizer experiments/ctc_resnet18_synth.yaml --rec-workspace W2 \
+        --images page1.jpg page2.jpg [--out-dir vis/] [--stride 2]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+import megreader_tpu.all  # noqa: F401
+from megreader_tpu.experiment import Experiment
+
+
+def _load(config, workspace):
+    import jax
+
+    from megreader_tpu.train import CheckpointManager, create_train_state
+
+    exp = Experiment.from_yaml(config, {"experiment.workspace": workspace} if workspace else {})
+    first = exp.prepare(next(iter(exp.eval_loader or exp.train_loader)))
+    state = create_train_state(
+        exp.model, jax.random.PRNGKey(0), first, exp.optimizer.make()
+    )
+    state = CheckpointManager(workspace or exp.workspace).restore(state)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return exp, variables
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detector", required=True)
+    ap.add_argument("--det-workspace", default=None)
+    ap.add_argument("--recognizer", required=True)
+    ap.add_argument("--rec-workspace", default=None)
+    ap.add_argument("--images", nargs="+", required=True)
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--page-size", type=int, default=640)
+    ap.add_argument("--max-regions", type=int, default=32)
+    ap.add_argument("--box-thresh", type=float, default=0.5)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--deskew", action="store_true")
+    args = ap.parse_args()
+
+    import cv2
+    import jax.numpy as jnp
+
+    from megreader_tpu.pipelines import E2EPipeline
+
+    det_exp, det_vars = _load(args.detector, args.det_workspace)
+    rec_exp, rec_vars = _load(args.recognizer, args.rec_workspace)
+
+    pipe = E2EPipeline(
+        det_exp.model,
+        rec_exp.model,
+        rec_exp.charset,
+        max_regions=args.max_regions,
+        box_thresh=args.box_thresh,
+        postproc_stride=args.stride,
+        deskew=args.deskew,
+    )
+
+    S = args.page_size
+    pages, scales, originals = [], [], []
+    for path in args.images:
+        img = cv2.cvtColor(cv2.imread(path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        pages.append(cv2.resize(img, (S, S)).astype(np.float32))
+        scales.append((w / S, h / S))
+        originals.append(img)
+
+    results = pipe.predict(det_vars, rec_vars, jnp.asarray(np.stack(pages)))
+
+    for path, page, (sx, sy), orig in zip(args.images, results, scales, originals):
+        dets = [
+            {
+                "polygon": (d["polygon"] * np.array([sx, sy])).tolist(),
+                "text": d["text"],
+                "score": d["score"],
+            }
+            for d in page
+        ]
+        print(json.dumps({"image": path, "detections": dets}))
+        if args.out_dir:
+            from megreader_tpu.postproc.visualizer import DetectionVisualizer
+
+            vis = DetectionVisualizer(args.out_dir)
+            name = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            vis.visualize(
+                name,
+                orig,
+                [np.array(d["polygon"]) for d in dets],
+                [d["text"] for d in dets],
+            )
+
+
+if __name__ == "__main__":
+    main()
