@@ -85,12 +85,43 @@ def convert_state_dict(
         if leaf == "bias":
             _set(params, path + ("bias",), arr)
             continue
-        raise ValueError(f"unhandled torch key {key!r}")
+        # Everything else (``embedding`` tables, raw parameters like the
+        # attention net's ``pos2d``) stores verbatim: such params are defined
+        # with identical layout on both sides by construction.
+        _set(params, path + (leaf,), arr)
 
     out = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats
     return out
+
+
+def convert_torchvision_resnet(state_dict: Mapping[str, Any]) -> Dict[str, Dict]:
+    """torchvision ``resnet{18,34,50,101}`` state_dict -> flax ResNet('det').
+
+    The reference initializes its detection backbones from ImageNet-pretrain
+    URLs (SURVEY.md §2.3); this is the ingestion path for those weights.
+    Renames torchvision keys (conv1, bn1, layerI.J.*, downsample.K) to our
+    module tree (stem_conv, stem_bn, layerI_blockJ.*, downsample_conv/bn)
+    and drops the classifier head (fc.*), then applies the standard
+    conversion rules.
+    """
+    import re
+
+    renamed = {}
+    for k, v in state_dict.items():
+        if k.startswith("fc."):
+            continue  # classification head: not part of the trunk
+        nk = k
+        if nk.startswith("conv1."):
+            nk = "stem_conv." + nk[len("conv1."):]
+        elif nk.startswith("bn1."):
+            nk = "stem_bn." + nk[len("bn1."):]
+        nk = re.sub(r"^layer(\d+)\.(\d+)\.", r"layer\1_block\2.", nk)
+        nk = nk.replace(".downsample.0.", ".downsample_conv.")
+        nk = nk.replace(".downsample.1.", ".downsample_bn.")
+        renamed[nk] = v
+    return convert_state_dict(renamed)
 
 
 def tree_shapes(tree) -> Dict:

@@ -103,10 +103,12 @@ class TorchBiLSTM(nn.Module):
 class TorchCTCRecognizer(nn.Module):
     """Twin of flax CTCRecognizerNet(backbone='resnet18', encoder='bilstm')."""
 
-    def __init__(self, num_classes=37, hidden=256, num_encoder_layers=2, width=64):
+    def __init__(self, num_classes=37, hidden=256, num_encoder_layers=2, width=64,
+                 height_collapse="mean", feat_h=2):
         super().__init__()
         self.backbone = TorchResNetRec(width=width)
-        feat_dim = width * 8
+        self.height_collapse = height_collapse
+        feat_dim = width * 8 * (feat_h if height_collapse == "reshape" else 1)
         layers = {}
         in_dim = feat_dim
         for i in range(num_encoder_layers):
@@ -118,7 +120,13 @@ class TorchCTCRecognizer(nn.Module):
 
     def forward(self, x):  # x: (B, 3, H, W)
         feat = self.backbone(x)  # (B, C, H', W')
-        seq = feat.mean(dim=2).transpose(1, 2)  # (B, W', C)
+        if self.height_collapse == "reshape":
+            B, C, H, W = feat.shape
+            # (B, W', H'*C), rows h-major then channels — matches the flax
+            # transpose+reshape in CTCRecognizerNet exactly.
+            seq = feat.permute(0, 3, 2, 1).reshape(B, W, H * C)
+        else:
+            seq = feat.mean(dim=2).transpose(1, 2)  # (B, W', C)
         for i in range(self.num_encoder_layers):
             seq = self.encoder[f"layer{i}"](seq)
         return self.classifier(seq)  # (B, T, num_classes)

@@ -64,9 +64,10 @@ class AttentionRecognizerNet(nn.Module):
     backbone: str = "resnet18"
     dim: int = 256
     max_len: int = 32
+    width: int = 64  # trunk base width
 
     def setup(self):
-        self.trunk = resnet_variant(self.backbone, "rec2d")
+        self.trunk = resnet_variant(self.backbone, "rec2d", width=self.width)
         self.mem_proj = nn.Dense(self.dim, name="mem_proj")
         self.embed = nn.Embed(self.num_classes, self.dim, name="embed")
         self.cell = GRUCellTorchlike(self.dim, name="gru")
@@ -137,9 +138,11 @@ class AttentionRecognizer:
         backbone: str = "resnet18",
         dim: int = 256,
         max_len: int = 32,
+        width: int = 64,
     ):
         self.net = AttentionRecognizerNet(
-            num_classes=num_classes, backbone=backbone, dim=dim, max_len=max_len
+            num_classes=num_classes, backbone=backbone, dim=dim, max_len=max_len,
+            width=width,
         )
         self.num_classes = num_classes
         self.max_len = max_len

@@ -19,11 +19,20 @@ translation — the sampling is reformulated as static shifted multiply-adds:
 
 Cost: 2*(2R+3)*K*C VPU madds per pixel for sampling + the usual K*C*Cout
 MXU MACs — bounded, static-shape, gather-free.
+
+PARITY CAVEAT (checkpoint conversion): the offset clip at ±``max_offset``
+is a deliberate semantic divergence from the reference CUDA kernel, which
+samples at unbounded offsets. A converted reference DCN checkpoint whose
+*learned* offsets exceed ``max_offset`` will silently produce different
+activations. Use ``dcn_offset_saturation`` on representative inputs after
+converting such a checkpoint — if the saturation fraction is material
+(>~1%), raise ``max_offset`` (cost grows linearly in 2R+3) instead of
+accepting the drift.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -91,6 +100,143 @@ def deform_sample(
             acc = acc + wy[..., None] * inner
         outs.append(acc * modulation[..., k, None])
     return jnp.stack(outs, axis=3)  # (B, H, W, K, C)
+
+
+def roi_pool_bilinear(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    bin_offsets: Optional[jnp.ndarray],
+    out_size: int = 7,
+    sample_ratio: int = 2,
+    spatial_scale: float = 1.0,
+) -> jnp.ndarray:
+    """RoI average pooling with optional per-bin deformation offsets.
+
+    The sampling half of the reference's ``DeformRoIPooling`` CUDA op
+    (SURVEY.md §2.6 N1): each RoI is divided into ``out_size``×``out_size``
+    bins; each bin averages ``sample_ratio``² bilinear samples taken at the
+    bin's uniform sub-grid, displaced by that bin's (dy, dx) offset.
+
+    features: (H, W, C) one image's feature map.
+    rois: (R, 4) boxes (x0, y0, x1, y1) in input-image coords
+      (multiplied by ``spatial_scale`` to reach feature coords).
+    bin_offsets: (R, out_size, out_size, 2) as (dy, dx) in *normalized* RoI
+      units (reference convention: offsets scale with RoI height/width), or
+      None for plain RoI align.
+    Returns (R, out_size, out_size, C).
+
+    Unlike the conv path, this is a per-RoI op outside the dense hot loop
+    (R·k²·g² ≈ 10⁴ samples), so a vectorized bilinear gather is the right
+    tool — reformulating to tent matmuls would materialize (R,k²,g,H)
+    weights for no win.
+    """
+    H, W, C = features.shape
+    R = rois.shape[0]
+    k, g = out_size, sample_ratio
+    x0, y0, x1, y1 = [rois[:, i] * spatial_scale for i in range(4)]
+    rw = jnp.maximum(x1 - x0, 0.1)  # (R,)
+    rh = jnp.maximum(y1 - y0, 0.1)
+    bw = rw / k
+    bh = rh / k
+
+    # Sub-grid sample positions per bin: bin (i, j), sample (u, v).
+    bi = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 0)
+    bj = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 1)
+    su = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 2)
+    sv = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 3)
+    # y = y0 + (i + (u+0.5)/g) * bh ; x analogous.
+    ys = y0[:, None, None, None, None] + (bi + (su + 0.5) / g)[None] * bh[:, None, None, None, None]
+    xs = x0[:, None, None, None, None] + (bj + (sv + 0.5) / g)[None] * bw[:, None, None, None, None]
+    if bin_offsets is not None:
+        ys = ys + (bin_offsets[..., 0] * rh[:, None, None])[..., None, None]
+        xs = xs + (bin_offsets[..., 1] * rw[:, None, None])[..., None, None]
+
+    flat_y = ys.reshape(R, k * k * g * g)
+    flat_x = xs.reshape(R, k * k * g * g)
+    x0i = jnp.floor(flat_x)
+    y0i = jnp.floor(flat_y)
+    dx = (flat_x - x0i)[..., None]
+    dy = (flat_y - y0i)[..., None]
+    x0c = x0i.astype(jnp.int32)
+    y0c = y0i.astype(jnp.int32)
+
+    def at(yi, xi):
+        v = features[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return v * inside[..., None]
+
+    v = (
+        at(y0c, x0c) * (1 - dx) * (1 - dy)
+        + at(y0c, x0c + 1) * dx * (1 - dy)
+        + at(y0c + 1, x0c) * (1 - dx) * dy
+        + at(y0c + 1, x0c + 1) * dx * dy
+    )  # (R, k*k*g*g, C)
+    return jnp.mean(v.reshape(R, k, k, g * g, C), axis=3)
+
+
+class DeformRoIPooling(nn.Module):
+    """Modulated deformable RoI pooling (reference ``DeformRoIPoolingPack``).
+
+    Two-stage: (1) plain RoI-align pool; (2) a small FC head on the pooled
+    features predicts per-bin offsets (and a modulation mask), then the
+    final pool samples at the deformed positions. Offset head is zero-init
+    so the module starts as standard RoI align (reference practice, keeps
+    converted checkpoints sane).
+    """
+
+    out_size: int = 7
+    sample_ratio: int = 2
+    spatial_scale: float = 1.0
+    #: reference gamma: offsets are predicted in normalized RoI units and
+    #: scaled by this factor before use.
+    trans_std: float = 0.1
+    modulated: bool = True
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
+        k = self.out_size
+        base = roi_pool_bilinear(
+            features, rois, None, k, self.sample_ratio, self.spatial_scale
+        )  # (R, k, k, C)
+        R = base.shape[0]
+        h = nn.Dense(self.hidden, name="trans_fc1")(base.reshape(R, -1))
+        h = nn.relu(h)
+        n_out = k * k * (3 if self.modulated else 2)
+        trans = nn.Dense(
+            n_out,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="trans_fc2",
+        )(h)
+        offsets = trans[:, : k * k * 2].reshape(R, k, k, 2) * self.trans_std
+        out = roi_pool_bilinear(
+            features, rois, offsets, k, self.sample_ratio, self.spatial_scale
+        )
+        if self.modulated:
+            mask = jax.nn.sigmoid(trans[:, k * k * 2 :].reshape(R, k, k, 1))
+            out = out * mask
+        return out
+
+
+def dcn_offset_saturation(
+    offsets: jnp.ndarray, max_offset: int = 2
+) -> Dict[str, jnp.ndarray]:
+    """Offset-clip diagnostics for checkpoint-parity validation.
+
+    offsets: (B, H, W, 2K) raw offset activations (the ``offset_conv``
+    output, pre-clip). Returns scalars: ``frac_clipped`` (fraction of
+    offset components beyond ±max_offset — activations the clip alters),
+    ``max_abs`` and ``p99_abs``. Convert a reference DCN checkpoint, run
+    its offset convs on real images, and check frac_clipped ~ 0 before
+    trusting activation parity (see module docstring).
+    """
+    a = jnp.abs(offsets.astype(jnp.float32))
+    return {
+        "frac_clipped": jnp.mean((a > max_offset).astype(jnp.float32)),
+        "max_abs": jnp.max(a),
+        "p99_abs": jnp.quantile(a.reshape(-1), 0.99),
+    }
 
 
 class DeformableConv(nn.Module):

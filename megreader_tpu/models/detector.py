@@ -84,10 +84,13 @@ class SegDetectorNet(nn.Module):
     fpn_dim: int = 256
     head_dim: int = 64
     k: float = 50.0  # differentiable-binarization steepness
+    width: int = 64  # trunk base width
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feats = resnet_variant(self.num_backbone, "det")(images, train=train)
+        feats = resnet_variant(self.num_backbone, "det", width=self.width)(
+            images, train=train
+        )
         fused = FPNNeck(self.fpn_dim, self.fpn_dim, name="fpn")(feats)
         prob = MapHead(self.head_dim, name="prob_head")(fused, train=train)
         thresh = MapHead(self.head_dim, name="thresh_head")(fused, train=train)
@@ -108,8 +111,9 @@ class SegDetector:
         bce_scale: float = 5.0,
         l1_scale: float = 10.0,
         negative_ratio: float = 3.0,
+        width: int = 64,
     ):
-        self.net = SegDetectorNet(backbone, fpn_dim, head_dim, k)
+        self.net = SegDetectorNet(backbone, fpn_dim, head_dim, k, width)
         self.bce_scale = bce_scale
         self.l1_scale = l1_scale
         self.negative_ratio = negative_ratio

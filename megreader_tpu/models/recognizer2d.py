@@ -35,10 +35,13 @@ class Ctc2dRecognizerNet(nn.Module):
     num_classes: int
     backbone: str = "resnet18"
     transition: str = "independent"  # 'independent' | 'markov'
+    width: int = 64  # trunk base width (narrow trunks for parity tests)
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        feat = resnet_variant(self.backbone, "rec2d")(images, train=train)  # (B,H,W,C)
+        feat = resnet_variant(self.backbone, "rec2d", width=self.width)(
+            images, train=train
+        )  # (B,H,W,C)
         feat = jnp.transpose(feat, (0, 2, 1, 3))  # (B, W=T, H, C)
         B, T, H, C = feat.shape
 
@@ -69,9 +72,11 @@ class Ctc2dRecognizer:
         transition: str = "independent",
         blank: int = 0,
         loss_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
+        width: int = 64,
     ):
         self.net = Ctc2dRecognizerNet(
-            num_classes=num_classes, backbone=backbone, transition=transition
+            num_classes=num_classes, backbone=backbone, transition=transition,
+            width=width,
         )
         self.transition = transition
         self.blank = blank

@@ -73,11 +73,19 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1×1 → 3×3 → 1×1 residual block (ResNet-50/101), expansion 4."""
+    """1×1 → 3×3 → 1×1 residual block (ResNet-50/101), expansion 4.
+
+    ``use_dcn`` swaps the 3×3 conv2 for DCNv2 — the reference's deformable
+    ResNet-50/101 configuration (SURVEY.md §2.6 N1). In strided blocks the
+    deformable conv carries the block's stride (computed dense, output
+    subsampled — same math as a strided DCN, marginal extra FLOPs on the
+    few strided blocks).
+    """
 
     features: int
     stride: Tuple[int, int] = (1, 1)
     expansion: int = 4
+    use_dcn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,7 +94,12 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
         y = nn.relu(y)
-        y = _conv(self.features, 3, self.stride, name="conv2")(y)
+        if self.use_dcn:
+            from .deform import DeformableConv
+
+            y = DeformableConv(self.features, stride=self.stride, name="conv2")(y)
+        else:
+            y = _conv(self.features, 3, self.stride, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
@@ -153,7 +166,7 @@ class ResNet(nn.Module):
         feats = []
         for i, (n_blocks, stride) in enumerate(zip(self.stage_sizes, stage_strides)):
             kw = {}
-            if self.block is BasicBlock and (i + 1) in tuple(self.dcn_stages):
+            if (i + 1) in tuple(self.dcn_stages):
                 kw["use_dcn"] = True
             for j in range(n_blocks):
                 y = self.block(
@@ -169,18 +182,28 @@ class ResNet(nn.Module):
         return y
 
 
-def resnet_variant(name: str, variant: str = "det") -> "ResNet":
-    factories = {"resnet18": resnet18, "resnet34": resnet34, "resnet50": resnet50}
-    return factories[name](variant=variant)
+def resnet_variant(name: str, variant: str = "det", **kw) -> "ResNet":
+    factories = {
+        "resnet18": resnet18,
+        "resnet34": resnet34,
+        "resnet50": resnet50,
+        "resnet101": resnet101,
+    }
+    return factories[name](variant=variant, **kw)
 
 
-def resnet18(variant="det"):
-    return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2), variant=variant)
+def resnet18(variant="det", **kw):
+    return ResNet(block=BasicBlock, stage_sizes=(2, 2, 2, 2), variant=variant, **kw)
 
 
-def resnet34(variant="det"):
-    return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3), variant=variant)
+def resnet34(variant="det", **kw):
+    return ResNet(block=BasicBlock, stage_sizes=(3, 4, 6, 3), variant=variant, **kw)
 
 
-def resnet50(variant="det"):
-    return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3), variant=variant)
+def resnet50(variant="det", **kw):
+    return ResNet(block=Bottleneck, stage_sizes=(3, 4, 6, 3), variant=variant, **kw)
+
+
+def resnet101(variant="det", **kw):
+    """ResNet-101 (SURVEY.md §2.3: the reference family is 18/34/50/101)."""
+    return ResNet(block=Bottleneck, stage_sizes=(3, 4, 23, 3), variant=variant, **kw)

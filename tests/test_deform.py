@@ -83,3 +83,128 @@ def test_resnet_dcn_variant():
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     keys = {"/".join(str(p) for p in path) for path, _ in flat}
     assert any("offset_conv" in k for k in keys)  # DCN params exist
+
+
+def test_dcn_offset_saturation_stats():
+    """Diagnostics for the offset-clip parity caveat (deform.py docstring)."""
+    from megreader_tpu.models.deform import dcn_offset_saturation
+
+    offsets = jnp.zeros((1, 4, 4, 18))
+    s = dcn_offset_saturation(offsets, max_offset=2)
+    assert float(s["frac_clipped"]) == 0.0
+    offsets = offsets.at[0, 0, 0, 0].set(5.0)
+    s = dcn_offset_saturation(offsets, max_offset=2)
+    assert float(s["frac_clipped"]) > 0.0
+    assert float(s["max_abs"]) == 5.0
+
+
+def _naive_roi_pool(feat, rois, offsets, k, g, scale=1.0):
+    H, W, C = feat.shape
+    R = len(rois)
+    out = np.zeros((R, k, k, C), np.float32)
+    for r in range(R):
+        x0, y0, x1, y1 = [v * scale for v in rois[r]]
+        rw, rh = max(x1 - x0, 0.1), max(y1 - y0, 0.1)
+        bw, bh = rw / k, rh / k
+        for i in range(k):
+            for j in range(k):
+                acc = np.zeros(C, np.float32)
+                for u in range(g):
+                    for v in range(g):
+                        y = y0 + (i + (u + 0.5) / g) * bh
+                        x = x0 + (j + (v + 0.5) / g) * bw
+                        if offsets is not None:
+                            y += offsets[r, i, j, 0] * rh
+                            x += offsets[r, i, j, 1] * rw
+                        yf, xf = int(np.floor(y)), int(np.floor(x))
+                        dy, dx = y - yf, x - xf
+                        def at(yy, xx):
+                            if 0 <= yy < H and 0 <= xx < W:
+                                return feat[yy, xx]
+                            if yy < 0 or yy >= H or xx < 0 or xx >= W:
+                                # zero outside; clamp-read matches device code
+                                inside = (0 <= yy < H) and (0 <= xx < W)
+                                return feat[min(max(yy, 0), H - 1), min(max(xx, 0), W - 1)] * inside
+                            return feat[yy, xx]
+                        acc += (
+                            at(yf, xf) * (1 - dx) * (1 - dy)
+                            + at(yf, xf + 1) * dx * (1 - dy)
+                            + at(yf + 1, xf) * (1 - dx) * dy
+                            + at(yf + 1, xf + 1) * dx * dy
+                        )
+                out[r, i, j] = acc / (g * g)
+    return out
+
+
+def test_roi_pool_bilinear_matches_naive():
+    from megreader_tpu.models.deform import roi_pool_bilinear
+
+    rng = np.random.default_rng(0)
+    feat = rng.random((20, 24, 3)).astype(np.float32)
+    rois = np.array(
+        [[2.0, 3.0, 14.5, 11.0], [0.0, 0.0, 23.0, 19.0], [5.2, 1.1, 9.9, 18.3]],
+        np.float32,
+    )
+    offsets = (rng.random((3, 4, 4, 2)) - 0.5).astype(np.float32) * 0.2
+    got = np.asarray(
+        roi_pool_bilinear(jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(offsets),
+                          out_size=4, sample_ratio=2)
+    )
+    want = _naive_roi_pool(feat, rois, offsets, k=4, g=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # plain (no offsets) path too
+    got0 = np.asarray(
+        roi_pool_bilinear(jnp.asarray(feat), jnp.asarray(rois), None, 4, 2)
+    )
+    want0 = _naive_roi_pool(feat, rois, None, k=4, g=2)
+    np.testing.assert_allclose(got0, want0, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_roi_pooling_module_starts_as_roi_align():
+    """Zero-init trans head => output == plain RoI align * sigmoid(0)=0.5."""
+    from megreader_tpu.models.deform import DeformRoIPooling, roi_pool_bilinear
+
+    rng = np.random.default_rng(1)
+    feat = jnp.asarray(rng.random((16, 16, 8)).astype(np.float32))
+    rois = jnp.asarray([[1.0, 1.0, 12.0, 13.0]], jnp.float32)
+    mod = DeformRoIPooling(out_size=3, sample_ratio=2, modulated=True)
+    vars_ = mod.init(jax.random.PRNGKey(0), feat, rois)
+    out = mod.apply(vars_, feat, rois)
+    base = roi_pool_bilinear(feat, rois, None, 3, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base) * 0.5, rtol=1e-5)
+
+
+def test_bottleneck_dcn_and_resnet101():
+    from megreader_tpu.models.resnet import Bottleneck, resnet101
+
+    x = jnp.zeros((1, 32, 32, 8))
+    blk = Bottleneck(features=4, use_dcn=True)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(v, x)
+    assert y.shape == (1, 32, 32, 16)
+    assert "conv2" in v["params"] and "offset_conv" in v["params"]["conv2"]
+
+    # strided DCN bottleneck halves resolution
+    blk_s = Bottleneck(features=4, stride=(2, 2), use_dcn=True)
+    v2 = blk_s.init(jax.random.PRNGKey(0), x)
+    assert blk_s.apply(v2, x).shape == (1, 16, 16, 16)
+
+    # resnet101: 3+4+23+3 bottlenecks, det pyramid shapes
+    net = resnet101(variant="det")
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    feats = net.apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 1024), (1, 2, 2, 2048)
+    ]
+    assert "layer3_block22" in params["params"]
+
+
+def test_resnet101_dcn_stages_with_bottleneck():
+    from megreader_tpu.models.resnet import resnet101
+
+    net = resnet101(variant="det", dcn_stages=(3, 4))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    assert "offset_conv" in params["params"]["layer3_block0"]["conv2"]
+    assert "offset_conv" in params["params"]["layer4_block0"]["conv2"]
+    assert "offset_conv" not in params["params"]["layer2_block0"].get("conv2", {})
