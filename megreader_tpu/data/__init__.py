@@ -4,7 +4,7 @@ from .datasets import (
     SyntheticDetectionDataset,
     SyntheticRecognitionDataset,
 )
-from .loader import Loader, detection_collate, recognition_collate
+from .loader import Loader, detection_collate, detection_collate_polys, recognition_collate
 from .processes import (
     make_border_maps,
     make_seg_maps,
@@ -20,6 +20,7 @@ __all__ = [
     "SyntheticRecognitionDataset",
     "Loader",
     "detection_collate",
+    "detection_collate_polys",
     "recognition_collate",
     "make_border_maps",
     "make_seg_maps",

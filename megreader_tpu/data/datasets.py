@@ -73,6 +73,7 @@ class DetectionICDARDataset:
         shrink_ratio: float = 0.4,
         augment: bool = False,
         seed: int = 0,
+        gt_maps: bool = True,
     ):
         self.image_dir = image_dir
         self.gt_dir = gt_dir
@@ -80,6 +81,7 @@ class DetectionICDARDataset:
         self.shrink_ratio = shrink_ratio
         self.augment = augment
         self.seed = seed
+        self.gt_maps = gt_maps
         self.names = sorted(
             os.path.splitext(n)[0]
             for n in os.listdir(image_dir)
@@ -125,20 +127,22 @@ class DetectionICDARDataset:
             img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
             polys = [p * np.array([sx, sy], np.float32) for p in polys]
 
-        seg = make_seg_maps(polys, ignored, (H, W), self.shrink_ratio)
-        border = make_border_maps(polys, ignored, (H, W), self.shrink_ratio)
-        return {
+        out = {
             "image": img,
-            "gt": seg["gt"],
-            "mask": seg["mask"],
-            "thresh_map": border["thresh_map"],
-            "thresh_mask": border["thresh_mask"],
             "polygons": polys,
             "ignore": ignored,
             "texts": texts,
             "scale": np.array([1.0 / sx, 1.0 / sy], np.float32),
             "filename": name,
         }
+        if self.gt_maps:
+            seg = make_seg_maps(polys, ignored, (H, W), self.shrink_ratio)
+            border = make_border_maps(polys, ignored, (H, W), self.shrink_ratio)
+            out.update(
+                gt=seg["gt"], mask=seg["mask"],
+                thresh_map=border["thresh_map"], thresh_mask=border["thresh_mask"],
+            )
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +193,7 @@ class SyntheticRecognitionDataset:
         h = th + 4 + m[1] + m[3]
         w = tw + m[0] + m[2]
         H, W = self.canvas_hw
-        img = (rng.random((h, w, 3)) * 50).astype(np.uint8)
+        img = rng.integers(0, 50, (h, w, 3), dtype=np.uint8)
         cv2.putText(
             img, text, (m[0], m[1] + th), cv2.FONT_HERSHEY_SIMPLEX, fs,
             (235, 235, 235), 2, cv2.LINE_AA,
@@ -208,11 +212,14 @@ class SyntheticDetectionDataset:
     """Pages with rendered words at random positions + exact quads."""
 
     def __init__(self, n: int = 64, hw: Tuple[int, int] = (640, 640), seed: int = 0,
-                 shrink_ratio: float = 0.4):
+                 shrink_ratio: float = 0.4, gt_maps: bool = True):
         self.n = n
         self.hw = hw
         self.seed = seed
         self.shrink_ratio = shrink_ratio
+        #: host GT rasterization toggle — False when the experiment uses the
+        #: device-side path (ops/gt_maps.py), which only needs polygons.
+        self.gt_maps = gt_maps
 
     def __len__(self):
         return self.n
@@ -222,7 +229,9 @@ class SyntheticDetectionDataset:
 
         rng = np.random.default_rng(self.seed * 999_983 + i)
         H, W = self.hw
-        img = (rng.random((H, W, 3)) * 50).astype(np.uint8)
+        # uint8 noise directly: a float64 page + cast costs ~10 ms at 640^2,
+        # which would dominate host ingest now that GT lives on device.
+        img = rng.integers(0, 50, (H, W, 3), dtype=np.uint8)
         polys: List[np.ndarray] = []
         texts: List[str] = []
         n_words = int(rng.integers(3, 9))
@@ -242,20 +251,22 @@ class SyntheticDetectionDataset:
             polys.append(box)
             texts.append(text)
         ignored = [False] * len(polys)
-        seg = make_seg_maps(polys, ignored, (H, W), self.shrink_ratio)
-        border = make_border_maps(polys, ignored, (H, W), self.shrink_ratio)
-        return {
+        out = {
             "image": img,
-            "gt": seg["gt"],
-            "mask": seg["mask"],
-            "thresh_map": border["thresh_map"],
-            "thresh_mask": border["thresh_mask"],
             "polygons": polys,
             "ignore": ignored,
             "texts": texts,
             "scale": np.array([1.0, 1.0], np.float32),
             "filename": f"synth_{i}",
         }
+        if self.gt_maps:
+            seg = make_seg_maps(polys, ignored, (H, W), self.shrink_ratio)
+            border = make_border_maps(polys, ignored, (H, W), self.shrink_ratio)
+            out.update(
+                gt=seg["gt"], mask=seg["mask"],
+                thresh_map=border["thresh_map"], thresh_mask=border["thresh_mask"],
+            )
+        return out
 
 
 def _overlaps(a: np.ndarray, b: np.ndarray) -> bool:

@@ -12,6 +12,7 @@ from .ctc2d import (
     ctc2d_viterbi_height_decode,
     fuse_heights,
 )
+from .gt_maps import make_detection_gt, pad_polygons
 from .image import (
     augment_images,
     augment_resize_with_aspect_pad,
@@ -41,6 +42,8 @@ __all__ = [
     "ctc2d_loss_markov",
     "ctc2d_viterbi_height_decode",
     "fuse_heights",
+    "make_detection_gt",
+    "pad_polygons",
     "augment_images",
     "augment_resize_with_aspect_pad",
     "crop_resize_boxes",

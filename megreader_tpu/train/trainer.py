@@ -51,6 +51,7 @@ class Trainer:
         use_mesh: bool = True,
         prepare_batch: Optional[Callable[[Dict], Dict]] = None,
         seed: int = 0,
+        debug_nans: bool = False,
     ):
         self.model = model
         self.loader = loader
@@ -65,15 +66,38 @@ class Trainer:
         self.signal_monitor = signal_monitor or SignalMonitor()
         self.mesh = make_mesh() if use_mesh else None
         self.prepare_batch = prepare_batch
+        # Step-aware prepare fns (e.g. device augmentation keyed by the
+        # training step) declare a ``step`` parameter; plain fns don't.
+        self._prepare_wants_step = False
+        if prepare_batch is not None:
+            import inspect
+
+            try:
+                self._prepare_wants_step = (
+                    "step" in inspect.signature(prepare_batch).parameters
+                )
+            except (TypeError, ValueError):
+                pass
         self.seed = seed
+        #: optional debug mode (SURVEY.md §5.2): raise on any NaN produced
+        #: inside jitted code. Costly — for debugging runs only.
+        self.debug_nans = debug_nans
+
+    def _prepare(self, batch: Dict, step: int) -> Dict:
+        if self.prepare_batch is None:
+            return batch
+        if self._prepare_wants_step:
+            return self.prepare_batch(batch, step=step)
+        return self.prepare_batch(batch)
 
     def train(self, resume: bool = True):
+        if self.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         tx = self.optimizer.make()
         sched = self.optimizer.make_schedule()
 
         first = next(iter(self.loader))
-        if self.prepare_batch:
-            first = self.prepare_batch(first)
+        first = self._prepare(first, 0)
         rng = jax.random.PRNGKey(self.seed)
         state = create_train_state(self.model, rng, _device_batch(first, None), tx)
         if resume:
@@ -122,8 +146,7 @@ class Trainer:
             # bottleneck for detection-sized batches).
             pending = None
             for batch in self.loader:
-                if self.prepare_batch:
-                    batch = self.prepare_batch(batch)
+                batch = self._prepare(batch, step)
                 db = _device_batch(batch, self.mesh)
                 if pending is not None:
                     do_step(pending, epoch)

@@ -150,3 +150,79 @@ def test_gradient_accumulation(tiny_setup):
         for x, y in zip(a1, a2)
     )
     assert changed > len(a2) * 0.5  # second micro-step applies the update
+
+
+def test_trainer_debug_nans_flag(tmp_path, tiny_setup):
+    """debug_nans=True turns on jax_debug_nans before the first step
+    (SURVEY.md §5.2's optional NaN-check mode)."""
+    cs, loader, model = tiny_setup
+    from megreader_tpu.train import Trainer
+
+    tr = Trainer(
+        model=model,
+        loader=loader,
+        optimizer=OptimizerConfig(name="sgd", lr=0.01, schedule="constant"),
+        workspace=str(tmp_path),
+        epochs=1,
+        use_mesh=False,
+        prepare_batch=_prep,
+        debug_nans=True,
+    )
+    try:
+        tr.train(resume=False)
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def test_trainer_threads_step_into_prepare(tmp_path, tiny_setup):
+    """Step-aware prepare fns receive the current trainer step."""
+    cs, loader, model = tiny_setup
+    from megreader_tpu.train import Trainer
+
+    seen = []
+
+    def prep(batch, step=0):
+        seen.append(step)
+        return _prep(batch)
+
+    tr = Trainer(
+        model=model,
+        loader=loader,
+        optimizer=OptimizerConfig(name="sgd", lr=0.01, schedule="constant"),
+        workspace=str(tmp_path),
+        epochs=2,
+        use_mesh=False,
+        prepare_batch=prep,
+    )
+    tr.train(resume=False)
+    # first call is the init probe at step 0; afterwards steps advance
+    assert seen[0] == 0
+    assert seen[-1] > seen[1]
+
+
+def test_augment_stream_depends_on_seed():
+    """Two experiments with different seeds get different augment streams;
+    the same (seed, step) reproduces exactly (VERDICT r1 weak #7)."""
+    from megreader_tpu.experiment import Experiment
+
+    cs = Charset()
+    ds = SyntheticRecognitionDataset(n=8)
+    raw = recognition_collate([ds[i] for i in range(4)], cs)
+
+    def stream(seed, step):
+        exp = Experiment(
+            model=CTCRecognizer(num_classes=cs.num_classes, hidden=32,
+                                num_encoder_layers=1),
+            train_dataset=ds,
+            augment=True,
+            seed=seed,
+            use_mesh=False,
+        )
+        return np.asarray(exp.prepare(dict(raw), step=step)["image"])
+
+    a = stream(0, 5)
+    b = stream(1, 5)
+    c = stream(0, 5)
+    assert not np.allclose(a, b)
+    np.testing.assert_array_equal(a, c)
