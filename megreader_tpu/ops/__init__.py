@@ -19,6 +19,7 @@ from .image import (
     crop_resize_boxes,
     normalize,
     rectify_quads,
+    rectify_quads_mxu,
     resize_bilinear,
     resize_with_aspect_pad,
     rotate_crops,
@@ -49,6 +50,7 @@ __all__ = [
     "crop_resize_boxes",
     "normalize",
     "rectify_quads",
+    "rectify_quads_mxu",
     "resize_bilinear",
     "resize_with_aspect_pad",
     "rotate_crops",

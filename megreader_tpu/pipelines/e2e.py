@@ -50,7 +50,9 @@ class E2EPipeline:
         box_margin: float = 4.0,
         postproc_stride: int = 1,
         deskew: bool = False,
+        rectify: str = "box",  # 'box' | 'deskew' | 'perspective'
         ccl_iters: int = 24,
+        ccl_multigrid: bool = True,
         bf16: bool = False,
     ):
         self.detector = detector
@@ -69,10 +71,19 @@ class E2EPipeline:
         #: straighten rotated regions (three-shear deskew by the component's
         #: principal angle) before recognition — for rotated-text pages.
         self.deskew = deskew
+        #: crop geometry: 'box' = axis-aligned bbox (fastest, upright text);
+        #: 'deskew' = box + three-shear rotation by the principal angle;
+        #: 'perspective' = exact homography rectification of the rotated
+        #: quad on the MXU path (ops/image.rectify_quads_mxu) — for
+        #: significantly rotated/perspective text (SURVEY.md §2.6 N5).
+        self.rectify = "deskew" if (deskew and rectify == "box") else rectify
         #: CCL sweep cap. Text components converge in <5 sweeps; the cap
         #: bounds worst-case latency on adversarial masks (a hit means a
         #: serpentine component splits into several boxes — benign).
         self.ccl_iters = ccl_iters
+        #: seed full-res labels from an eroded half-res solve (identical
+        #: labels, ~2x less full-res sweep work at stride 1).
+        self.ccl_multigrid = ccl_multigrid
         self.bf16 = bf16
         self._jitted = None
 
@@ -100,7 +111,9 @@ class E2EPipeline:
             else:
                 mask = prob > self.bin_thresh
                 prob_s = prob
-            labels = connected_components(mask, max_iters=self.ccl_iters)
+            labels = connected_components(
+                mask, max_iters=self.ccl_iters, multigrid=self.ccl_multigrid
+            )
             stats = extract_regions(labels, prob_s, max_regions=K)
             d = unclip_distance_for(stats, ratio=self.unclip_ratio)
             quads = regions_to_quads(stats, d) * s  # (B, K, 4, 2), full-res px
@@ -115,14 +128,24 @@ class E2EPipeline:
             y1 = jnp.clip(jnp.max(quads[..., 1], axis=-1) + m, 1, H)
             boxes = jnp.stack([x0, y0, x1, y1], axis=-1)  # (B, K, 4)
 
-            crops = crop_resize_boxes(
-                pages, boxes, (Ho, Wo), aspect="preserve_h"
-            )  # (B,K,Ho,Wo,C) — undistorted, left-aligned like training crops
-            crops = crops.reshape(B * K, Ho, Wo, 3)
-            if self.deskew:
-                from ..ops.image import rotate_crops
+            if self.rectify == "perspective":
+                from ..ops.image import rectify_quads_mxu
 
-                crops = rotate_crops(crops, stats["theta"].reshape(B * K))
+                # margin along the quad's own axes (same role as box_margin)
+                c = quads.mean(axis=-2, keepdims=True)
+                qm = quads + jnp.sign(quads - c) * (m * 0.5)
+                crops = rectify_quads_mxu(
+                    pages, qm, (Ho, Wo), aspect="preserve_h"
+                ).reshape(B * K, Ho, Wo, 3)
+            else:
+                crops = crop_resize_boxes(
+                    pages, boxes, (Ho, Wo), aspect="preserve_h"
+                )  # (B,K,Ho,Wo,C) — undistorted, left-aligned like training
+                crops = crops.reshape(B * K, Ho, Wo, 3)
+                if self.rectify == "deskew":
+                    from ..ops.image import rotate_crops
+
+                    crops = rotate_crops(crops, stats["theta"].reshape(B * K))
             crops = normalize(crops)
             if self.bf16:
                 crops = crops.astype(jnp.bfloat16)

@@ -178,3 +178,81 @@ def test_rotate_crops_zero_angle_identity():
     crops = rng.random((1, 32, 64, 3)).astype(np.float32)
     out = np.asarray(rotate_crops(jnp.asarray(crops), jnp.zeros((1,), np.float32)))
     np.testing.assert_allclose(out[0], crops[0], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MXU-path perspective rectification (round 2, VERDICT r1 #6)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_page(rng, H=200, W=300):
+    import cv2
+
+    img = rng.random((H, W, 3)).astype(np.float32)
+    return cv2.GaussianBlur(img, (0, 0), 3.0)
+
+
+def test_rectify_quads_mxu_vs_cv2():
+    """Two-pass scanline homography vs cv2.warpPerspective (<=1e-3 mean)."""
+    import cv2
+
+    from megreader_tpu.ops.image import perspective_matrix_from_quad, rectify_quads_mxu
+
+    rng = np.random.default_rng(0)
+    page = _smooth_page(rng)
+    H, W = page.shape[:2]
+    Ho, Wo = 32, 100
+
+    quads = []
+    for (cx, cy, qw, qh, rot, persp) in [
+        (120, 80, 110, 30, 0.0, 0.0),
+        (150, 100, 100, 28, 0.25, 0.0),
+        (140, 90, 96, 30, -0.2, 0.08),
+        (150, 110, 120, 32, 0.35, -0.06),
+    ]:
+        base = np.array(
+            [[-qw / 2, -qh / 2], [qw / 2, -qh / 2], [qw / 2, qh / 2], [-qw / 2, qh / 2]],
+            np.float32,
+        )
+        R = np.array([[np.cos(rot), -np.sin(rot)], [np.sin(rot), np.cos(rot)]], np.float32)
+        q = base @ R.T
+        # mild perspective: stretch the right edge vertically
+        q[1, 1] -= persp * qh * 2
+        q[2, 1] += persp * qh * 2
+        quads.append(q + [cx, cy])
+    quads = np.stack(quads)[None]  # (1, 4, 4, 2)
+
+    got = np.asarray(
+        rectify_quads_mxu(jnp.asarray(page)[None], jnp.asarray(quads), (Ho, Wo))
+    )[0]
+
+    for k in range(quads.shape[1]):
+        M = np.asarray(perspective_matrix_from_quad(jnp.asarray(quads[0, k]), (Ho, Wo)))
+        want = cv2.warpPerspective(
+            page, M, (Wo, Ho), flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP
+        )
+        # interior comparison (border pixels differ by pad convention)
+        err = np.abs(got[k][2:-2, 2:-2] - want[2:-2, 2:-2]).mean()
+        assert err < 1e-3, f"quad {k}: mean err {err:.2e}"
+
+
+def test_rectify_quads_mxu_preserve_h():
+    from megreader_tpu.ops.image import rectify_quads_mxu
+
+    rng = np.random.default_rng(1)
+    page = _smooth_page(rng)
+    q = np.array([[40, 60], [140, 60], [140, 90], [40, 90]], np.float32)[None, None]
+    out = np.asarray(
+        rectify_quads_mxu(jnp.asarray(page)[None], jnp.asarray(q), (32, 100),
+                          aspect="preserve_h")
+    )[0, 0]
+    # 100x30 quad at height 32 -> valid width ~ 100*32/30 = 106 -> clipped 100
+    assert np.abs(out[:, :99]).mean() > 0.05
+    q2 = np.array([[40, 60], [80, 60], [80, 90], [40, 90]], np.float32)[None, None]
+    out2 = np.asarray(
+        rectify_quads_mxu(jnp.asarray(page)[None], jnp.asarray(q2), (32, 100),
+                          aspect="preserve_h")
+    )[0, 0]
+    # 40x30 quad -> valid width ~ 43; columns beyond are zero-masked
+    assert np.abs(out2[:, 50:]).max() == 0.0
+    assert np.abs(out2[:, :40]).mean() > 0.05
