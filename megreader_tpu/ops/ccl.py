@@ -101,10 +101,63 @@ def _ccl_single(mask: jnp.ndarray, max_iters: int) -> jnp.ndarray:
     return jnp.where(mask, labels, -1)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def connected_components(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
-    """(B, H, W) bool -> (B, H, W) int32 labels (min linear index; -1 = bg)."""
-    return jax.vmap(lambda m: _ccl_single(m, max_iters))(mask)
+def _ccl_multigrid_single(mask: jnp.ndarray, max_iters: int) -> jnp.ndarray:
+    """Two-level CCL: solve an ERODED half-resolution problem first, seed the
+    fine labels from it, then finish with (few) full-res sweeps.
+
+    The coarse mask is a 2x2 min-pool, so coarse-on cells are fully-on 2x2
+    fine blocks: coarse connectivity implies fine connectivity (no false
+    merges — a max-pool would bridge 1-px gaps), and every coarse seed value
+    is the fine index of a real member pixel. The sweep fixed point is
+    min-initial-value over each component = min own-index — IDENTICAL labels
+    to the flat solve (tested) — but most unification work happens at 1/4
+    cost and the full-res loop converges in ~1-2 sweeps instead of 3-5.
+    """
+    H, W = mask.shape
+    Hc, Wc = H // 2, W // 2
+    big = jnp.int32(H * W)
+    m = mask[: Hc * 2, : Wc * 2]
+    coarse = m[0::2, 0::2] & m[0::2, 1::2] & m[1::2, 0::2] & m[1::2, 1::2]
+
+    lc = _ccl_single(coarse, max_iters)  # (Hc, Wc), -1 background
+    cy = lc // Wc
+    cx = lc - cy * Wc
+    seed = jnp.where(lc >= 0, (2 * cy) * W + 2 * cx, big)  # fine idx of root cell
+    seed_f = jnp.repeat(jnp.repeat(seed, 2, axis=0), 2, axis=1)
+    if (Hc * 2, Wc * 2) != (H, W):  # odd edges fall back to own-index seeds
+        seed_f = jnp.pad(seed_f, ((0, H - Hc * 2), (0, W - Wc * 2)), constant_values=big)
+
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    labels0 = jnp.where(mask, jnp.minimum(idx, seed_f), big)
+
+    def cond(state):
+        labels, prev, it = state
+        return jnp.logical_and(it < max_iters, jnp.any(labels != prev))
+
+    def body(state):
+        labels, _, it = state
+        return _sweep(labels, mask, big), labels, it + 1
+
+    first = _sweep(labels0, mask, big)
+    labels, _, _ = jax.lax.while_loop(cond, body, (first, labels0, jnp.int32(1)))
+    return jnp.where(mask, labels, -1)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "multigrid"))
+def connected_components(
+    mask: jnp.ndarray, max_iters: int = 64, multigrid: bool = False
+) -> jnp.ndarray:
+    """(B, H, W) bool -> (B, H, W) int32 labels (min linear index; -1 = bg).
+
+    ``multigrid=True`` seeds from an eroded half-res solve (identical
+    labels, fewer full-res sweeps — the stride-1 postproc speedup,
+    SURVEY.md §7 hard part #3).
+    """
+    f = _ccl_multigrid_single if multigrid else _ccl_single
+    return jax.vmap(lambda m: f(m, max_iters))(mask)
 
 
 def _region_stats_single(

@@ -111,3 +111,42 @@ def test_unclip_grows_box():
     w1 = q1[:, 0].max() - q1[:, 0].min()
     assert w1 > w0
     assert float(d[0, 0]) > 0
+
+
+def test_multigrid_ccl_identical_labels():
+    """Multigrid seeding must produce EXACTLY the flat solve's labels
+    (same fixed point: min linear index per component)."""
+    from megreader_tpu.ops.ccl import connected_components
+
+    rng = np.random.default_rng(0)
+    masks = []
+    # text-ish blobs
+    m = np.zeros((64, 96), bool)
+    m[10:20, 5:40] = True
+    m[30:42, 50:90] = True
+    m[50:54, 10:80] = True  # thin wide stroke
+    masks.append(m)
+    # random blobs incl. 1-px structures that erode away at half res
+    r = rng.random((64, 96)) < 0.35
+    masks.append(r)
+    # diagonal-adjacent components must stay separate
+    m2 = np.zeros((64, 96), bool)
+    m2[10:20, 10:20] = True
+    m2[20:30, 20:30] = True  # shares only the corner pixel boundary
+    masks.append(m2)
+    batch = jnp.asarray(np.stack(masks))
+
+    flat = np.asarray(connected_components(batch, max_iters=64, multigrid=False))
+    mg = np.asarray(connected_components(batch, max_iters=64, multigrid=True))
+    np.testing.assert_array_equal(flat, mg)
+
+
+def test_multigrid_ccl_odd_size():
+    from megreader_tpu.ops.ccl import connected_components
+
+    m = np.zeros((33, 47), bool)
+    m[5:12, 3:30] = True
+    m[20:30, 10:45] = True
+    flat = np.asarray(connected_components(jnp.asarray(m)[None], 64, multigrid=False))
+    mg = np.asarray(connected_components(jnp.asarray(m)[None], 64, multigrid=True))
+    np.testing.assert_array_equal(flat, mg)
