@@ -164,27 +164,96 @@ def ctc_greedy_decode(
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("beam_width", "blank"))
+def blank_collapse_frames(
+    log_probs: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    blank: int = 0,
+    threshold: float = 0.999,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Collapse blank-dominated frames before beam search (Lee et al. 2022,
+    arXiv:2210.17017, PAPERS.md).
+
+    A frame whose blank posterior exceeds ``threshold`` only extends every
+    beam with blank: p_b' = logaddexp(p_b, p_nb) + lp_blank (the repeat
+    path re-entering p_nb carries < 1-threshold mass — dropped). A RUN of
+    such frames composes to ONE such update with the run's summed blank
+    log-prob. So the whole run folds into a per-frame "pre-blank" scalar
+    applied as a cheap vectorized update before the NEXT kept frame's
+    expansion — the sequential beam scan then walks only the informative
+    frames (typically 2-4x fewer). Trailing runs shift every beam's score
+    equally and are dropped outright.
+
+    Returns (compacted log_probs (B, T, C) left-packed, kept_lengths (B,),
+    pre_blank (B, T): summed blank lp of the run preceding each kept frame,
+    NEG_INF where the preceding frame was not blank-dominated).
+    """
+    B, T, C = log_probs.shape
+    t_idx = jnp.arange(T)[None, :]
+    in_range = t_idx < logit_lengths[:, None]
+    dom = (log_probs[:, :, blank] >= jnp.log(threshold)) & in_range  # (B, T)
+    keep = ~dom & in_range
+
+    # run_sum[t] = summed blank lp of the maximal dominated run ending at t
+    lp_blank = jnp.where(dom, log_probs[:, :, blank], 0.0)
+
+    def acc(carry, x):
+        d, lp = x
+        run = jnp.where(d, carry + lp, 0.0)
+        return run, run
+
+    _, run_sums = jax.lax.scan(
+        acc, jnp.zeros((B,), log_probs.dtype),
+        (dom.swapaxes(0, 1), lp_blank.swapaxes(0, 1)),
+    )
+    run_sums = run_sums.swapaxes(0, 1)  # (B, T)
+    prev_dom = jnp.pad(dom, ((0, 0), (1, 0)))[:, :T]
+    prev_run = jnp.pad(run_sums, ((0, 0), (1, 0)))[:, :T]
+    pre = jnp.where(prev_dom, prev_run, NEG_INF)  # valid at kept frames
+
+    pos = jnp.cumsum(keep, axis=1) - 1
+    kept = jnp.sum(keep, axis=1).astype(jnp.int32)
+    slot = jnp.where(keep, pos, T)  # discarded frames dump into slot T
+    out = jnp.zeros((B, T + 1, C), log_probs.dtype)
+    out = jax.vmap(lambda o, s, v: o.at[s].set(v))(out, slot, log_probs)
+    pre_out = jnp.full((B, T + 1), NEG_INF, log_probs.dtype)
+    pre_out = jax.vmap(lambda o, s, v: o.at[s].set(v))(pre_out, slot, pre)
+    return out[:, :T], kept, pre_out[:, :T]
+
+
+@partial(jax.jit, static_argnames=("beam_width", "blank", "blank_collapse"))
 def ctc_beam_decode(
     logits: jnp.ndarray,
     logit_lengths: jnp.ndarray,
     beam_width: int = 8,
     blank: int = 0,
+    blank_collapse: float = 0.999,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched CTC prefix beam search.
+    """Batched CTC prefix beam search with blank-collapse frame skipping.
 
     State per beam: the prefix (fixed buffer (T,)), its length, and the two
     log-probabilities p_b (paths ending in blank) / p_nb (ending in the last
     symbol). Each step expands every beam by every class, merges the three
     canonical cases (blank extend, repeat-last, new symbol), then keeps the
     top ``beam_width`` by total probability. Prefix identity is approximated
-    by a rolling hash (exact merge of equal prefixes; hash collisions are
-    vanishingly rare over int64... we use two 32-bit hashes).
+    by a rolling hash (exact merge of equal prefixes; collisions vanishing
+    over two 32-bit hashes).
+
+    ``blank_collapse``: frames whose blank posterior exceeds this are
+    removed up front (``blank_collapse_frames``) and the scan runs as a
+    ``while_loop`` over the LONGEST COMPACTED length in the batch — the
+    sequential cost drops with the actual information content, not T.
+    Set >= 1.0 to disable (exact prefix beam over all frames).
 
     Returns (ids (B, T), lengths (B,)) of the best beam.
     """
     B, T, C = logits.shape
     log_probs = jax.nn.log_softmax(logits, axis=-1)
+    if blank_collapse < 1.0:
+        log_probs, logit_lengths, pre_blank = blank_collapse_frames(
+            log_probs, logit_lengths, blank, blank_collapse
+        )
+    else:
+        pre_blank = jnp.full((B, T), NEG_INF, log_probs.dtype)
     W = beam_width
 
     H1, H2 = jnp.int32(1000003), jnp.int32(1000033)
@@ -207,6 +276,15 @@ def ctc_beam_decode(
     def step(state, t):
         prefixes, lens, p_b, p_nb, h1, h2, last = state
         lp = log_probs[:, t, :]  # (B, C)
+
+        # Collapsed blank run preceding this frame: one cheap vectorized
+        # update standing in for the whole run's per-frame steps.
+        pb_run = pre_blank[:, t]  # (B,)
+        has_run = (pb_run > NEG_INF / 2)[:, None]
+        merged = logaddexp(p_b, p_nb) + pb_run[:, None]
+        p_b = jnp.where(has_run, merged, p_b)
+        p_nb = jnp.where(has_run, NEG_INF, p_nb)
+
         p_tot = logaddexp(p_b, p_nb)  # (B, W)
 
         # Candidate 1: extend with blank (prefix unchanged).
@@ -330,7 +408,20 @@ def ctc_beam_decode(
         lastn = jnp.where(active, f_last, last)
         return (prefixes, lens, p_b_n, p_nb_n, h1n, h2n, lastn), None
 
-    state, _ = jax.lax.scan(step, init(), jnp.arange(T))
+    # while_loop with a DYNAMIC trip count (the longest compacted length in
+    # the batch): with blank-collapse, the sequential cost tracks the
+    # number of informative frames, not T.
+    max_t = jnp.max(logit_lengths).astype(jnp.int32)
+
+    def w_cond(carry):
+        return carry[0] < max_t
+
+    def w_body(carry):
+        t, st = carry
+        new_st, _ = step(st, t)
+        return t + 1, new_st
+
+    _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), init()))
     prefixes, lens, p_b, p_nb, *_ = state
     best = jnp.argmax(logaddexp(p_b, p_nb), axis=1)  # (B,)
     ids = jnp.take_along_axis(prefixes, best[:, None, None], axis=1)[:, 0]

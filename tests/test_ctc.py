@@ -171,3 +171,62 @@ def test_beam_beats_or_matches_greedy_likelihood():
         nll_beam = seq_nll(jnp.asarray(bi[b]), int(bl[b]))
         nll_greedy = seq_nll(jnp.asarray(gi[b]), int(gl[b]))
         assert nll_beam <= nll_greedy + 1e-3
+
+
+def test_blank_collapse_frames_compaction():
+    from megreader_tpu.ops.ctc import blank_collapse_frames
+
+    B, T, C = 2, 6, 4
+    lp = np.full((B, T, C), np.log(0.05 / 3), np.float32)
+    # blank-dominated runs: frames 1-3 for b=0; frames 2-3 for b=1. Runs
+    # fold into the NEXT kept frame's pre_blank scalar (summed blank lp).
+    blank_dom = {0: [1, 2, 3], 1: [2, 3]}
+    for b in range(B):
+        for t in range(T):
+            if t in blank_dom[b]:
+                lp[b, t, 0] = np.log(0.9995)
+            else:
+                lp[b, t, 0] = np.log(0.05)
+                lp[b, t, 1 + (t % 3)] = np.log(0.85)
+    lengths = jnp.asarray([6, 5], jnp.int32)
+    out, kept, pre = blank_collapse_frames(jnp.asarray(lp), lengths, blank=0)
+    out, pre = np.asarray(out), np.asarray(pre)
+    assert list(np.asarray(kept)) == [3, 3]
+    # b=0 keeps frames 0, 4, 5; the 1-3 run folds into kept slot 1 (frame 4)
+    np.testing.assert_allclose(out[0, :3], lp[0][[0, 4, 5]])
+    np.testing.assert_allclose(pre[0, 1], 3 * np.log(0.9995), rtol=1e-5)
+    assert pre[0, 0] < -1e20 and pre[0, 2] < -1e20  # no run before 0 or 5
+    # b=1 keeps frames 0, 1, 4 (frame 5 beyond its length)
+    np.testing.assert_allclose(out[1, :3], lp[1][[0, 1, 4]])
+    np.testing.assert_allclose(pre[1, 2], 2 * np.log(0.9995), rtol=1e-5)
+
+
+def test_beam_decode_blank_collapse_matches_full():
+    """Pruned beam == exact beam on realistically peaked logits (the
+    equal-accuracy half of the VERDICT r1 #8 done-criterion)."""
+    from megreader_tpu.ops.ctc import ctc_beam_decode
+
+    rng = np.random.default_rng(0)
+    B, T, C = 8, 25, 37
+    logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    # make ~60% of frames confidently blank (typical trained CTC posterior)
+    for b in range(B):
+        for t in range(T):
+            if rng.random() < 0.6:
+                logits[b, t, 0] = 12.0  # blank logit >> others
+            else:
+                logits[b, t, rng.integers(1, C)] = 9.0
+    lengths = jnp.full((B,), T, jnp.int32)
+    ids_full, len_full = ctc_beam_decode(
+        jnp.asarray(logits), lengths, beam_width=8, blank_collapse=1.0
+    )
+    ids_fast, len_fast = ctc_beam_decode(
+        jnp.asarray(logits), lengths, beam_width=8, blank_collapse=0.999
+    )
+    np.testing.assert_array_equal(np.asarray(len_full), np.asarray(len_fast))
+    for b in range(B):
+        L = int(len_full[b])
+        np.testing.assert_array_equal(
+            np.asarray(ids_full)[b, :L], np.asarray(ids_fast)[b, :L],
+            err_msg=f"batch {b}",
+        )
