@@ -15,7 +15,7 @@ Output maps are at input resolution (stride 1), shape (B, H, W).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -36,25 +36,27 @@ class FPNNeck(nn.Module):
 
     dim: int = 256
     out_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feats: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
         c2, c3, c4, c5 = feats
-        p5 = nn.Conv(self.dim, (1, 1), name="lat5")(c5)
-        p4 = nn.Conv(self.dim, (1, 1), name="lat4")(c4) + _resize_to(
+        dt = self.dtype
+        p5 = nn.Conv(self.dim, (1, 1), dtype=dt, name="lat5")(c5)
+        p4 = nn.Conv(self.dim, (1, 1), dtype=dt, name="lat4")(c4) + _resize_to(
             p5, c4.shape[1], c4.shape[2]
         )
-        p3 = nn.Conv(self.dim, (1, 1), name="lat3")(c3) + _resize_to(
+        p3 = nn.Conv(self.dim, (1, 1), dtype=dt, name="lat3")(c3) + _resize_to(
             p4, c3.shape[1], c3.shape[2]
         )
-        p2 = nn.Conv(self.dim, (1, 1), name="lat2")(c2) + _resize_to(
+        p2 = nn.Conv(self.dim, (1, 1), dtype=dt, name="lat2")(c2) + _resize_to(
             p3, c2.shape[1], c2.shape[2]
         )
         q = self.out_dim // 4
         h, w = c2.shape[1], c2.shape[2]
         outs = []
         for i, p in enumerate([p2, p3, p4, p5]):
-            s = nn.Conv(q, (3, 3), padding=((1, 1), (1, 1)), name=f"smooth{i + 2}")(p)
+            s = nn.Conv(q, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name=f"smooth{i + 2}")(p)
             outs.append(_resize_to(s, h, w))
         return jnp.concatenate(outs, axis=-1)  # (B, H/4, W/4, out_dim)
 
@@ -63,20 +65,22 @@ class MapHead(nn.Module):
     """conv3x3 -> BN -> relu -> 2× upsample-conv -> 1-channel sigmoid map."""
 
     dim: int = 64
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="conv")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn")(y)
+        dt = self.dtype
+        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=dt, name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn")(y)
         y = nn.relu(y)
         B, h, w, _ = y.shape
         y = _resize_to(y, h * 2, w * 2)
-        y = nn.Conv(self.dim // 2, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="up1")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.Conv(self.dim // 2, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=dt, name="up1")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(y)
         y = nn.relu(y)
         y = _resize_to(y, h * 4, w * 4)
-        y = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="up2")(y)
-        return jax.nn.sigmoid(y[..., 0])  # (B, H, W)
+        y = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="up2")(y)
+        return jax.nn.sigmoid(y[..., 0].astype(jnp.float32))  # (B, H, W) fp32
 
 
 class SegDetectorNet(nn.Module):
@@ -85,15 +89,17 @@ class SegDetectorNet(nn.Module):
     head_dim: int = 64
     k: float = 50.0  # differentiable-binarization steepness
     width: int = 64  # trunk base width
+    #: conv compute dtype (bf16 = mixed-precision training; maps/loss fp32)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feats = resnet_variant(self.num_backbone, "det", width=self.width)(
-            images, train=train
-        )
-        fused = FPNNeck(self.fpn_dim, self.fpn_dim, name="fpn")(feats)
-        prob = MapHead(self.head_dim, name="prob_head")(fused, train=train)
-        thresh = MapHead(self.head_dim, name="thresh_head")(fused, train=train)
+        feats = resnet_variant(
+            self.num_backbone, "det", width=self.width, dtype=self.dtype
+        )(images, train=train)
+        fused = FPNNeck(self.fpn_dim, self.fpn_dim, dtype=self.dtype, name="fpn")(feats)
+        prob = MapHead(self.head_dim, dtype=self.dtype, name="prob_head")(fused, train=train)
+        thresh = MapHead(self.head_dim, dtype=self.dtype, name="thresh_head")(fused, train=train)
         binary = jax.nn.sigmoid(self.k * (prob - thresh))
         return {"prob": prob, "thresh": thresh, "binary": binary}
 
@@ -112,8 +118,12 @@ class SegDetector:
         l1_scale: float = 10.0,
         negative_ratio: float = 3.0,
         width: int = 64,
+        compute_dtype: str = "float32",  # 'float32' | 'bfloat16'
     ):
-        self.net = SegDetectorNet(backbone, fpn_dim, head_dim, k, width)
+        self.net = SegDetectorNet(
+            backbone, fpn_dim, head_dim, k, width,
+            dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
+        )
         self.bce_scale = bce_scale
         self.l1_scale = l1_scale
         self.negative_ratio = negative_ratio

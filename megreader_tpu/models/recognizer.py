@@ -48,10 +48,15 @@ class CTCRecognizerNet(nn.Module):
     #: squeeze/reshape convention, selectable for checkpoint parity with
     #: references that reshape rather than pool (VERDICT r1 missing #1).
     height_collapse: str = "mean"
+    #: compute dtype for convs/matmuls (jnp.bfloat16 = mixed-precision
+    #: training: fp32 params/BN/loss, bf16 MXU work). None = fp32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        feat = BACKBONES[self.backbone](variant="rec")(images, train=train)
+        feat = BACKBONES[self.backbone](variant="rec", dtype=self.dtype)(
+            images, train=train
+        )
         if self.height_collapse == "mean":
             seq = jnp.mean(feat, axis=1)  # (B, W', C)
         elif self.height_collapse == "reshape":
@@ -60,15 +65,17 @@ class CTCRecognizerNet(nn.Module):
         else:
             raise ValueError(f"unknown height_collapse {self.height_collapse!r}")
         if self.encoder == "bilstm":
-            seq = StackedBiLSTM(self.hidden, self.num_encoder_layers, name="encoder")(seq)
+            seq = StackedBiLSTM(
+                self.hidden, self.num_encoder_layers, dtype=self.dtype, name="encoder"
+            )(seq)
         elif self.encoder == "transformer":
             seq = TransformerEncoder(
                 dim=2 * self.hidden, num_layers=self.num_encoder_layers, name="encoder"
             )(seq, train=train)
         elif self.encoder != "none":
             raise ValueError(f"unknown encoder {self.encoder!r}")
-        logits = nn.Dense(self.num_classes, name="classifier")(seq)
-        return logits  # (B, T, num_classes)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(seq)
+        return logits.astype(jnp.float32)  # (B, T, nc); loss math stays fp32
 
 
 @register
@@ -85,6 +92,7 @@ class CTCRecognizer:
         blank: int = 0,
         loss_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
         height_collapse: str = "mean",
+        compute_dtype: str = "float32",  # 'float32' | 'bfloat16'
     ):
         self.net = CTCRecognizerNet(
             num_classes=num_classes,
@@ -93,6 +101,7 @@ class CTCRecognizer:
             hidden=hidden,
             num_encoder_layers=num_encoder_layers,
             height_collapse=height_collapse,
+            dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
         )
         self.num_classes = num_classes
         self.blank = blank

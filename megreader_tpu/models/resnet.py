@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
-def _conv(features, kernel, stride, name=None, use_bias=False):
+def _conv(features, kernel, stride, name=None, use_bias=False, dtype=None):
     pad = kernel // 2
     return nn.Conv(
         features,
@@ -33,41 +33,48 @@ def _conv(features, kernel, stride, name=None, use_bias=False):
         strides=stride if isinstance(stride, tuple) else (stride, stride),
         padding=((pad, pad), (pad, pad)),
         use_bias=use_bias,
+        dtype=dtype,
         name=name,
     )
 
 
 class BasicBlock(nn.Module):
-    """2×(3×3 conv) residual block (ResNet-18/34); optional DCNv2 conv2."""
+    """2×(3×3 conv) residual block (ResNet-18/34); optional DCNv2 conv2.
+
+    ``dtype``: conv compute dtype (bf16 for mixed-precision training —
+    params stay fp32, BatchNorm normalizes in fp32).
+    """
 
     features: int
     stride: Tuple[int, int] = (1, 1)
     expansion: int = 1
     use_dcn: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = _conv(self.features, 3, self.stride, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = _conv(self.features, 3, self.stride, name="conv1", dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(y)
         y = nn.relu(y)
         if self.use_dcn:
             from .deform import DeformableConv
 
             y = DeformableConv(self.features, name="conv2")(y)
         else:
-            y = _conv(self.features, 3, (1, 1), name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+            y = _conv(self.features, 3, (1, 1), name="conv2", dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn2")(y)
         if residual.shape[-1] != self.features or self.stride != (1, 1):
             residual = nn.Conv(
                 self.features,
                 (1, 1),
                 strides=self.stride,
                 use_bias=False,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
             residual = nn.BatchNorm(
-                use_running_average=not train, name="downsample_bn"
+                use_running_average=not train, dtype=jnp.float32, name="downsample_bn"
             )(residual)
         return nn.relu(y + residual)
 
@@ -86,30 +93,32 @@ class Bottleneck(nn.Module):
     stride: Tuple[int, int] = (1, 1)
     expansion: int = 4
     use_dcn: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.features * self.expansion
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(y)
         y = nn.relu(y)
         if self.use_dcn:
             from .deform import DeformableConv
 
             y = DeformableConv(self.features, stride=self.stride, name="conv2")(y)
         else:
-            y = _conv(self.features, 3, self.stride, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+            y = _conv(self.features, 3, self.stride, name="conv2", dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn3")(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn3")(y)
         if residual.shape[-1] != out_ch or self.stride != (1, 1):
             residual = nn.Conv(
-                out_ch, (1, 1), strides=self.stride, use_bias=False, name="downsample_conv"
+                out_ch, (1, 1), strides=self.stride, use_bias=False, dtype=self.dtype,
+                name="downsample_conv"
             )(x)
             residual = nn.BatchNorm(
-                use_running_average=not train, name="downsample_bn"
+                use_running_average=not train, dtype=jnp.float32, name="downsample_bn"
             )(residual)
         return nn.relu(y + residual)
 
@@ -135,6 +144,9 @@ class ResNet(nn.Module):
     #: 1-based stage indices whose blocks use deformable conv2 (the
     #: reference's deformable-ResNet swaps 3x3 convs in later stages).
     dcn_stages: Sequence[int] = ()
+    #: conv compute dtype — jnp.bfloat16 enables mixed-precision training
+    #: (params fp32, MXU convs bf16, BatchNorm fp32). None = fp32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -145,15 +157,16 @@ class ResNet(nn.Module):
                 strides=(2, 2),
                 padding=((3, 3), (3, 3)),
                 use_bias=False,
+                dtype=self.dtype,
                 name="stem_conv",
             )(x)
-            y = nn.BatchNorm(use_running_average=not train, name="stem_bn")(y)
+            y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="stem_bn")(y)
             y = nn.relu(y)
             y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
             stage_strides = [(1, 1), (2, 2), (2, 2), (2, 2)]
         elif self.variant in ("rec", "rec2d"):
-            y = _conv(self.width, 3, (1, 1), name="stem_conv")(x)
-            y = nn.BatchNorm(use_running_average=not train, name="stem_bn")(y)
+            y = _conv(self.width, 3, (1, 1), name="stem_conv", dtype=self.dtype)(x)
+            y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="stem_bn")(y)
             y = nn.relu(y)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))
             if self.variant == "rec":
@@ -172,6 +185,7 @@ class ResNet(nn.Module):
                 y = self.block(
                     features=self.width * (2**i),
                     stride=stride if j == 0 else (1, 1),
+                    dtype=self.dtype,
                     name=f"layer{i + 1}_block{j}",
                     **kw,
                 )(y, train=train)

@@ -14,7 +14,7 @@ over the width axis, all static shapes.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -30,6 +30,9 @@ class LSTM(nn.Module):
 
     hidden: int
     reverse: bool = False
+    #: matmul compute dtype (bf16 for mixed precision; params stay fp32,
+    #: gate nonlinearities and the cell state run in fp32).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -39,17 +42,22 @@ class LSTM(nn.Module):
         w_hh = self.param("w_hh", nn.initializers.orthogonal(), (4 * H, H))
         b_ih = self.param("b_ih", nn.initializers.zeros, (4 * H,))
         b_hh = self.param("b_hh", nn.initializers.zeros, (4 * H,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w_ih = w_ih.astype(self.dtype)
+            w_hh = w_hh.astype(self.dtype)
 
         # Precompute input projections for every step in one big matmul
         # (MXU-friendly: (B*T, D) @ (D, 4H)), leaving only the small
         # recurrent matmul inside the scan.
-        x_proj = x @ w_ih.T + b_ih + b_hh  # (B, T, 4H)
+        x_proj = (x @ w_ih.T).astype(jnp.float32) + b_ih + b_hh  # (B, T, 4H)
         if self.reverse:
             x_proj = jnp.flip(x_proj, axis=1)
 
         def step(carry, xp):
             h, c = carry
-            gates = xp + h @ w_hh.T  # (B, 4H)
+            hh = (h.astype(w_hh.dtype) @ w_hh.T).astype(jnp.float32)
+            gates = xp + hh  # (B, 4H)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
             g = jnp.tanh(g)
@@ -57,7 +65,7 @@ class LSTM(nn.Module):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        h0 = jnp.zeros((B, H), x.dtype)
+        h0 = jnp.zeros((B, H), jnp.float32)
         (_, _), ys = jax.lax.scan(step, (h0, h0), jnp.swapaxes(x_proj, 0, 1))
         ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
         if self.reverse:
@@ -69,11 +77,12 @@ class BiLSTM(nn.Module):
     """Bidirectional LSTM: concat of forward and backward passes (B, T, 2H)."""
 
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        fwd = LSTM(self.hidden, reverse=False, name="fwd")(x)
-        bwd = LSTM(self.hidden, reverse=True, name="bwd")(x)
+        fwd = LSTM(self.hidden, reverse=False, dtype=self.dtype, name="fwd")(x)
+        bwd = LSTM(self.hidden, reverse=True, dtype=self.dtype, name="bwd")(x)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -82,11 +91,12 @@ class StackedBiLSTM(nn.Module):
 
     hidden: int
     num_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
-            x = BiLSTM(self.hidden, name=f"layer{i}")(x)
+            x = BiLSTM(self.hidden, dtype=self.dtype, name=f"layer{i}")(x)
         return x
 
 

@@ -19,7 +19,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 
-def run(device_gt: bool, steps: int = 30, batch_size: int = 8):
+def run(device_gt: bool, steps: int = 30, batch_size: int = 8,
+        compute_dtype: str = "float32"):
     import jax
 
     from megreader_tpu.data import SyntheticDetectionDataset
@@ -29,7 +30,7 @@ def run(device_gt: bool, steps: int = 30, batch_size: int = 8):
 
     ds = SyntheticDetectionDataset(n=batch_size * steps, hw=(640, 640))
     exp = Experiment(
-        model=SegDetector(),
+        model=SegDetector(compute_dtype=compute_dtype),
         train_dataset=ds,
         batch_size=batch_size,
         device_gt=device_gt,
@@ -62,11 +63,13 @@ def run(device_gt: bool, steps: int = 30, batch_size: int = 8):
 def main():
     host_ips = run(device_gt=False)
     dev_ips = run(device_gt=True)
+    bf16_ips = run(device_gt=True, compute_dtype="bfloat16")
     print(
         json.dumps(
             {
                 "detector_train_im_per_s_host_gt": round(host_ips, 1),
                 "detector_train_im_per_s_device_gt": round(dev_ips, 1),
+                "detector_train_im_per_s_device_gt_bf16": round(bf16_ips, 1),
                 "speedup": round(dev_ips / host_ips, 2),
                 "target": 55.0,
             }

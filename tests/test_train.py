@@ -226,3 +226,62 @@ def test_augment_stream_depends_on_seed():
     c = stream(0, 5)
     assert not np.allclose(a, b)
     np.testing.assert_array_equal(a, c)
+
+
+def test_bf16_mixed_precision_training(tiny_setup):
+    """compute_dtype='bfloat16': fp32 params, bf16 matmuls - loss close to
+    fp32 and one SGD step stays finite with fp32 param dtypes preserved."""
+    cs, loader, model32 = tiny_setup
+    model16 = CTCRecognizer(
+        num_classes=cs.num_classes, hidden=32, num_encoder_layers=1,
+        compute_dtype="bfloat16",
+    )
+    batch = _prep(next(iter(loader)))
+    v32 = model32.net.init(jax.random.PRNGKey(0), batch["image"])
+    v16 = model16.net.init(jax.random.PRNGKey(0), batch["image"])
+    # same param tree and fp32 dtypes regardless of compute dtype
+    s32 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v32)
+    s16 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v16)
+    assert s32 == s16
+    for leaf in jax.tree_util.tree_leaves(v16["params"]):
+        assert leaf.dtype == jnp.float32
+
+    l32, _ = model32.loss(v32, batch, train=False)
+    l16, _ = model16.loss(v16, batch, train=False)
+    assert np.isfinite(float(l16))
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+
+    tx = OptimizerConfig(name="sgd", lr=0.01, schedule="constant").make()
+    state = create_train_state(model16, jax.random.PRNGKey(0), batch, tx)
+    step_fn = make_train_step(model16, tx, mesh=None, donate=False)
+    state, m = step_fn(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+
+def test_bf16_detector_training_step():
+    from megreader_tpu.models.detector import SegDetector
+
+    det = SegDetector(fpn_dim=32, head_dim=8, compute_dtype="bfloat16")
+    B, H, W = 2, 64, 64
+    rng = np.random.default_rng(0)
+    gt = np.zeros((B, H, W), np.float32)
+    gt[:, 20:30, 10:40] = 1.0
+    batch = {
+        "image": jnp.asarray(rng.random((B, H, W, 3)), jnp.float32),
+        "gt": jnp.asarray(gt),
+        "mask": jnp.ones((B, H, W), jnp.float32),
+        "thresh_map": jnp.asarray(gt * 0.5),
+        "thresh_mask": jnp.asarray(gt),
+    }
+    tx = OptimizerConfig(name="sgd", lr=0.007, schedule="constant").make()
+    state = create_train_state(det, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(det, tx, mesh=None, donate=False)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    maps = det.net.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], train=False,
+    )
+    assert maps["prob"].dtype == jnp.float32
