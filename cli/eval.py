@@ -27,20 +27,18 @@ def main():
 
     exp = Experiment.from_yaml(args.config, parse_cli_overrides(rest))
 
-    # Restore the latest (or given) checkpoint from the workspace.
-    from megreader_tpu.train import CheckpointManager, OptimizerConfig, create_train_state
+    # Restore the latest (or given) checkpoint from the workspace —
+    # params-only, so eval works on checkpoints from any optimizer config.
+    from megreader_tpu.train import CheckpointManager
 
     first = exp.prepare(next(iter(exp.eval_loader or exp.train_loader)))
-    tx = exp.optimizer.make()
-    state = create_train_state(exp.model, jax.random.PRNGKey(0), first, tx)
+    variables = exp.model.init(jax.random.PRNGKey(0), first["image"])
     mgr = CheckpointManager(exp.workspace)
-    state = mgr.restore(state, step=args.step)
+    step = args.step if args.step is not None else mgr.latest_step()
+    variables = mgr.restore_variables(variables, step=step)
 
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
     metrics = evaluate(exp, variables, mode=args.mode, protocol=args.protocol)
-    print(json.dumps({"step": int(state.step), **metrics}))
+    print(json.dumps({"step": int(step or 0), **metrics}))
 
 
 if __name__ == "__main__":

@@ -24,17 +24,16 @@ from megreader_tpu.experiment import Experiment
 def _load(config, workspace):
     import jax
 
-    from megreader_tpu.train import CheckpointManager, create_train_state
+    from megreader_tpu.train import CheckpointManager
 
     exp = Experiment.from_yaml(config, {"experiment.workspace": workspace} if workspace else {})
     first = exp.prepare(next(iter(exp.eval_loader or exp.train_loader)))
-    state = create_train_state(
-        exp.model, jax.random.PRNGKey(0), first, exp.optimizer.make()
+    variables = exp.model.init(jax.random.PRNGKey(0), first["image"])
+    # params-only restore: inference must not depend on the optimizer the
+    # checkpoint was trained with (opt_state trees differ across configs)
+    variables = CheckpointManager(workspace or exp.workspace).restore_variables(
+        variables
     )
-    state = CheckpointManager(workspace or exp.workspace).restore(state)
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
     return exp, variables
 
 
@@ -51,6 +50,11 @@ def main():
     ap.add_argument("--box-thresh", type=float, default=0.5)
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--deskew", action="store_true")
+    ap.add_argument(
+        "--rectify", default="box", choices=["box", "deskew", "perspective"],
+        help="crop geometry: axis-aligned box, three-shear deskew, or exact "
+             "perspective rectification of the rotated quad (MXU path)",
+    )
     args = ap.parse_args()
 
     import cv2
@@ -69,6 +73,7 @@ def main():
         box_thresh=args.box_thresh,
         postproc_stride=args.stride,
         deskew=args.deskew,
+        rectify=args.rectify,
     )
 
     S = args.page_size

@@ -47,8 +47,11 @@ def evaluate_detection(
     )
     raws = []
     assert exp.eval_loader is not None, "experiment has no eval dataset"
+    from .ops.image import normalize
+
     for batch in exp.eval_loader:
-        x = exp.prepare(batch)["image"]
+        # eval needs pixels only — skip the prepare fn's GT rasterization
+        x = normalize(jnp.asarray(batch["image"]).astype(jnp.float32))
         prob = forward(variables, x)
         results = representer.represent(prob, scales=np.asarray(batch["scale"]))
         for b, res in enumerate(results):

@@ -22,7 +22,7 @@ Charset convention: AttentionCharset (PAD=0, GO=1, EOS=2, chars from 3).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -65,9 +65,12 @@ class AttentionRecognizerNet(nn.Module):
     dim: int = 256
     max_len: int = 32
     width: int = 64  # trunk base width
+    dtype: Any = None  # bf16 trunk (decoder/attention stay fp32)
 
     def setup(self):
-        self.trunk = resnet_variant(self.backbone, "rec2d", width=self.width)
+        self.trunk = resnet_variant(
+            self.backbone, "rec2d", width=self.width, dtype=self.dtype
+        )
         self.mem_proj = nn.Dense(self.dim, name="mem_proj")
         self.embed = nn.Embed(self.num_classes, self.dim, name="embed")
         self.cell = GRUCellTorchlike(self.dim, name="gru")
@@ -78,7 +81,7 @@ class AttentionRecognizerNet(nn.Module):
 
     @nn.compact
     def encode(self, images, train: bool = False):
-        feat = self.trunk(images, train=train)  # (B, H, W, C)
+        feat = self.trunk(images, train=train).astype(jnp.float32)  # (B,H,W,C)
         B, H, W, C = feat.shape
         mem = self.mem_proj(feat)  # (B, H, W, D)
         pos = self.param(
@@ -139,10 +142,12 @@ class AttentionRecognizer:
         dim: int = 256,
         max_len: int = 32,
         width: int = 64,
+        compute_dtype: str = "float32",
     ):
         self.net = AttentionRecognizerNet(
             num_classes=num_classes, backbone=backbone, dim=dim, max_len=max_len,
             width=width,
+            dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
         )
         self.num_classes = num_classes
         self.max_len = max_len

@@ -15,7 +15,7 @@ Shape trace (B, 32, 100, 3):
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -36,13 +36,14 @@ class Ctc2dRecognizerNet(nn.Module):
     backbone: str = "resnet18"
     transition: str = "independent"  # 'independent' | 'markov'
     width: int = 64  # trunk base width (narrow trunks for parity tests)
+    dtype: Any = None  # bf16 trunk for mixed-precision training; heads fp32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        feat = resnet_variant(self.backbone, "rec2d", width=self.width)(
-            images, train=train
-        )  # (B,H,W,C)
-        feat = jnp.transpose(feat, (0, 2, 1, 3))  # (B, W=T, H, C)
+        feat = resnet_variant(
+            self.backbone, "rec2d", width=self.width, dtype=self.dtype
+        )(images, train=train)  # (B,H,W,C)
+        feat = jnp.transpose(feat, (0, 2, 1, 3)).astype(jnp.float32)  # (B,W=T,H,C)
         B, T, H, C = feat.shape
 
         emit = nn.Dense(self.num_classes, name="class_head")(feat)
@@ -73,10 +74,12 @@ class Ctc2dRecognizer:
         blank: int = 0,
         loss_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
         width: int = 64,
+        compute_dtype: str = "float32",
     ):
         self.net = Ctc2dRecognizerNet(
             num_classes=num_classes, backbone=backbone, transition=transition,
             width=width,
+            dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
         )
         self.transition = transition
         self.blank = blank

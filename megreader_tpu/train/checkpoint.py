@@ -93,6 +93,39 @@ class CheckpointManager:
         with open(self._msgpack_path(step), "rb") as f:
             return serialization.from_bytes(target, f.read())
 
+    def restore_variables(self, variables: Any, step: Optional[int] = None) -> Any:
+        """Restore inference variables (params [+ batch_stats]) from a
+        training checkpoint, ignoring optimizer state.
+
+        Inference/eval surfaces must not depend on how a model was trained:
+        a checkpoint written under a different optimizer config (e.g. adamw
+        vs sgd, or with/without MultiSteps) has a different ``opt_state``
+        tree, and a full TrainState restore refuses it. Partial restore of
+        the params/batch_stats subtrees is robust to that drift.
+        """
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return variables
+        target = {"params": variables["params"]}
+        if "batch_stats" in variables:
+            target["batch_stats"] = variables["batch_stats"]
+        if self._mgr is not None:
+            import orbax.checkpoint as ocp
+
+            out = self._mgr.restore(
+                step, args=ocp.args.PyTreeRestore(item=target, partial_restore=True)
+            )
+            return {**variables, **{k: out[k] for k in target}}
+        with open(self._msgpack_path(step), "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        return {
+            **variables,
+            **{
+                k: serialization.from_state_dict(target[k], raw[k])
+                for k in target
+            },
+        }
+
     def wait(self):
         if self._mgr is not None:
             self._mgr.wait_until_finished()

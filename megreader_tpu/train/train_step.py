@@ -87,7 +87,7 @@ class OptimizerConfig:
                 optax.add_decayed_weights(self.weight_decay),
                 optax.sgd(sched, momentum=self.momentum),
             )
-        elif self.name == "adam":
+        elif self.name in ("adam", "adamw"):
             tx = optax.adamw(sched, weight_decay=self.weight_decay)
         else:
             raise ValueError(f"unknown optimizer {self.name!r}")

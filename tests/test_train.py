@@ -110,6 +110,27 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_restore_variables_ignores_optimizer_drift(tmp_path, tiny_setup):
+    """Params-only restore must load checkpoints trained under a DIFFERENT
+    optimizer config (opt_state trees differ -> full-state restore refuses)."""
+    from megreader_tpu.train import CheckpointManager
+
+    cs, loader, model = tiny_setup
+    batch = _prep(next(iter(loader)))
+    tx_train = OptimizerConfig(name="adamw", lr=3e-4, schedule="constant").make()
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx_train)
+
+    mgr = CheckpointManager(str(tmp_path), save_every_steps=1, use_orbax=False)
+    assert mgr.save(state, force=True)
+
+    fresh = model.init(jax.random.PRNGKey(1), batch["image"])
+    restored = mgr.restore_variables(fresh)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_loader_shapes(tiny_setup):
     cs, loader, model = tiny_setup
     b = next(iter(loader))
