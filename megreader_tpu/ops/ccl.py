@@ -156,6 +156,16 @@ def connected_components(
     labels, fewer full-res sweeps — the stride-1 postproc speedup,
     SURVEY.md §7 hard part #3).
     """
+    if multigrid:
+        # XLA miscompile guard (observed on the TPU backend, 2026-08): when a
+        # computed mask (e.g. ``prob > t``) feeds the multigrid path inside a
+        # LARGER jitted program, fusion/rematerialization evaluates the mask
+        # inconsistently across its use sites (coarse pool vs labels0 vs the
+        # final where) and most component pixels come back as the ``big``
+        # sentinel. A standalone call is correct; so is the flat path. The
+        # barrier forces one materialization of the mask so every consumer
+        # reads the same values. Cost: one bool array per page (~0.4 MB).
+        mask = jax.lax.optimization_barrier(mask)
     f = _ccl_multigrid_single if multigrid else _ccl_single
     return jax.vmap(lambda m: f(m, max_iters))(mask)
 

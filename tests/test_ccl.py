@@ -141,6 +141,27 @@ def test_multigrid_ccl_identical_labels():
     np.testing.assert_array_equal(flat, mg)
 
 
+def test_multigrid_ccl_fused_context():
+    """Multigrid CCL must stay correct when the mask is COMPUTED inside a
+    larger jitted program (regression: an XLA fusion miscompile on the TPU
+    backend evaluated a ``prob > t`` mask inconsistently across use sites in
+    the multigrid path, labeling most pixels with the ``big`` sentinel; an
+    optimization_barrier in connected_components guards it)."""
+    import jax
+
+    from megreader_tpu.ops.ccl import connected_components
+
+    rng = np.random.default_rng(3)
+    prob = jnp.asarray(rng.random((2, 64, 96)).astype(np.float32))
+    sep = np.asarray(connected_components(prob > 0.6, max_iters=64, multigrid=True))
+
+    @jax.jit
+    def fused(p):
+        return connected_components(p > 0.6, max_iters=64, multigrid=True)
+
+    np.testing.assert_array_equal(sep, np.asarray(fused(prob)))
+
+
 def test_multigrid_ccl_odd_size():
     from megreader_tpu.ops.ccl import connected_components
 
