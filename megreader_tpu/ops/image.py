@@ -523,7 +523,10 @@ def rotate_crops(crops: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     """
     K, H, W, C = crops.shape
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    a = -theta  # deskew
+    # Deskew samples with R(+theta): walking the output x-axis follows the
+    # region's principal direction (cos t, sin t) in image coords. (A -theta
+    # here anti-deskews — regression caught by the e2e rotated-page eval.)
+    a = theta
     t_half = jnp.tan(a / 2.0)
     s = jnp.sin(a)
     y_rel = jax.lax.broadcasted_iota(jnp.float32, (K, H), 1) - cy

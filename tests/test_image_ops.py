@@ -166,9 +166,45 @@ def test_rotate_crops_matches_oracle():
         ours = np.asarray(
             rotate_crops(jnp.asarray(img[None]), jnp.asarray([theta], np.float32))
         )[0]
-        ref = _rotation_oracle(img, -theta)  # deskew convention
+        ref = _rotation_oracle(img, theta)  # deskew = sample with R(+theta)
         d = np.abs(ours[8:-8, 8:-8] - ref[8:-8, 8:-8])
         assert d.mean() < 5e-3 and d.max() < 0.2  # 3-shear vs direct: tiny blur
+
+
+def test_rotate_crops_deskews_measured_principal_angle():
+    """End-to-end deskew semantics: measure a rotated blob's principal angle
+    exactly as ops.ccl.extract_regions does (0.5*atan2(2vxy, vxx-vyy) in
+    image coords), pass it to rotate_crops, and the output's residual angle
+    must be ~0. (Regression: a sign flip here halved rotated-page e2e
+    recall while the component-level oracle test still passed.)"""
+    from megreader_tpu.ops.image import rotate_crops
+
+    def principal_angle(m):
+        ys, xs = np.nonzero(m)
+        xc, yc = xs - xs.mean(), ys - ys.mean()
+        return 0.5 * np.arctan2(
+            2 * (xc * yc).mean(), (xc**2).mean() - (yc**2).mean()
+        )
+
+    for deg in (12.0, -17.0):
+        a = np.deg2rad(deg)
+        yy, xx = np.mgrid[0:64, 0:160]
+        cy, cx = 31.5, 79.5
+        # a thin bar along direction (cos a, sin a): |perp component| small
+        u = (xx - cx) * np.cos(a) + (yy - cy) * np.sin(a)
+        v = -(xx - cx) * np.sin(a) + (yy - cy) * np.cos(a)
+        bar = ((np.abs(v) < 4) & (np.abs(u) < 55)).astype(np.float32)
+        theta = principal_angle(bar > 0.5)
+        assert abs(np.rad2deg(theta) - deg) < 1.5  # measurement sanity
+
+        out = np.asarray(
+            rotate_crops(
+                jnp.asarray(np.repeat(bar[None, ..., None], 3, -1)),
+                jnp.asarray([theta], np.float32),
+            )
+        )[0, ..., 0]
+        residual = principal_angle(out > 0.5)
+        assert abs(np.rad2deg(residual)) < 1.0
 
 
 def test_rotate_crops_zero_angle_identity():
