@@ -130,6 +130,11 @@ def bench_pages(stride: int = 1):
 
 
 def main():
+    import jax
+
+    # persistent compile cache: cold fp32 compiles on this backend can run
+    # minutes; repeat bench invocations should pay them once
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     crops_per_sec = bench_crops()
     pages_per_sec, p50_ms, page_batch = bench_pages(stride=1)
 

@@ -30,16 +30,15 @@ def main():
 
     exp = Experiment.from_yaml(args.config, parse_cli_overrides(rest))
 
-    from megreader_tpu.train import CheckpointManager, create_train_state
+    from megreader_tpu.train import CheckpointManager
 
+    # params-only restore: inference works on checkpoints from any
+    # optimizer config (full TrainState restore refuses opt_state drift)
     first = exp.prepare(next(iter(exp.eval_loader or exp.train_loader)))
-    state = create_train_state(
-        exp.model, jax.random.PRNGKey(0), first, exp.optimizer.make()
+    variables = exp.model.init(jax.random.PRNGKey(0), first["image"])
+    variables = CheckpointManager(exp.workspace).restore_variables(
+        variables, step=args.step
     )
-    state = CheckpointManager(exp.workspace).restore(state, step=args.step)
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
 
     img = cv2.cvtColor(cv2.imread(args.image, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
 

@@ -46,17 +46,23 @@ class LSTM(nn.Module):
             x = x.astype(self.dtype)
             w_ih = w_ih.astype(self.dtype)
             w_hh = w_hh.astype(self.dtype)
+        # Accumulator dtype: mixed-precision TRAINING (dtype set, fp32
+        # params) keeps gates/cell state fp32 for stable recurrence; with
+        # dtype unset the cell follows the inputs — so a fully bf16-cast
+        # serving tree runs the whole scan in bf16 (the fp32-forced variant
+        # cost ~20% crop throughput).
+        acc = jnp.float32 if self.dtype is not None else x.dtype
 
         # Precompute input projections for every step in one big matmul
         # (MXU-friendly: (B*T, D) @ (D, 4H)), leaving only the small
         # recurrent matmul inside the scan.
-        x_proj = (x @ w_ih.T).astype(jnp.float32) + b_ih + b_hh  # (B, T, 4H)
+        x_proj = ((x @ w_ih.T) + b_ih + b_hh).astype(acc)  # (B, T, 4H)
         if self.reverse:
             x_proj = jnp.flip(x_proj, axis=1)
 
         def step(carry, xp):
             h, c = carry
-            hh = (h.astype(w_hh.dtype) @ w_hh.T).astype(jnp.float32)
+            hh = (h.astype(w_hh.dtype) @ w_hh.T).astype(acc)
             gates = xp + hh  # (B, 4H)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
@@ -65,7 +71,7 @@ class LSTM(nn.Module):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        h0 = jnp.zeros((B, H), jnp.float32)
+        h0 = jnp.zeros((B, H), acc)
         (_, _), ys = jax.lax.scan(step, (h0, h0), jnp.swapaxes(x_proj, 0, 1))
         ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
         if self.reverse:

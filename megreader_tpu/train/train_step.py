@@ -111,13 +111,29 @@ def create_train_state(model, rng, sample_batch, tx) -> TrainState:
 
 
 def make_train_step(
-    model, tx, mesh: Optional[Mesh] = None, donate: bool = True
+    model, tx, mesh: Optional[Mesh] = None, donate: bool = True,
+    prepare=None, prepare_wants_step: bool = False,
 ) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
     """Compile the full train step. With a mesh: batch sharded on 'data',
     state replicated — XLA inserts the gradient all-reduce over ICI.
+
+    ``prepare``: optional pure-jax batch transform (device augmentation, GT
+    rasterization, normalize) traced INTO the step — the whole
+    ingest+forward+backward+update pipeline becomes ONE XLA program per
+    batch. Besides letting XLA fuse ingest into the forward pass, this cuts
+    per-batch dispatches, which dominate on high-RTT links (the axon dev
+    tunnel). ``prepare_wants_step`` passes ``step=state.step`` (traced) for
+    step-keyed augmentation streams.
     """
 
     def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        if prepare is not None:
+            batch = (
+                prepare(batch, step=state.step)
+                if prepare_wants_step
+                else prepare(batch)
+            )
+
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:

@@ -52,6 +52,7 @@ class Trainer:
         prepare_batch: Optional[Callable[[Dict], Dict]] = None,
         seed: int = 0,
         debug_nans: bool = False,
+        fuse_prepare: bool = True,
     ):
         self.model = model
         self.loader = loader
@@ -82,6 +83,11 @@ class Trainer:
         #: optional debug mode (SURVEY.md §5.2): raise on any NaN produced
         #: inside jitted code. Costly — for debugging runs only.
         self.debug_nans = debug_nans
+        #: trace prepare_batch INTO the jitted train step (pure-jax prepare
+        #: fns only — all Experiment-built ones are): one XLA program per
+        #: batch instead of several dispatches, and XLA fuses ingest into
+        #: the forward pass.
+        self.fuse_prepare = fuse_prepare and prepare_batch is not None
 
     def _prepare(self, batch: Dict, step: int) -> Dict:
         if self.prepare_batch is None:
@@ -105,7 +111,11 @@ class Trainer:
             if int(state.step) > 0:
                 self.logger.info(f"resumed at step {int(state.step)}")
 
-        step_fn = make_train_step(self.model, tx, mesh=self.mesh)
+        step_fn = make_train_step(
+            self.model, tx, mesh=self.mesh,
+            prepare=self.prepare_batch if self.fuse_prepare else None,
+            prepare_wants_step=self._prepare_wants_step,
+        )
         step = int(state.step)
         t_log = time.time()
         n_since = 0
@@ -146,7 +156,8 @@ class Trainer:
             # bottleneck for detection-sized batches).
             pending = None
             for batch in self.loader:
-                batch = self._prepare(batch, step)
+                if not self.fuse_prepare:
+                    batch = self._prepare(batch, step)
                 db = _device_batch(batch, self.mesh)
                 if pending is not None:
                     do_step(pending, epoch)

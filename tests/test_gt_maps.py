@@ -64,6 +64,33 @@ def test_device_gt_matches_host(case_i):
         assert err.mean() < 0.03, f"thresh_map mean err {err.mean():.4f}"
 
 
+def test_tiled_rasterization_identical_to_dense():
+    """The bbox-tile fast path must reproduce the dense full-page maps
+    bit-for-bit — including via the lax.cond fallback when a polygon's
+    dilated bbox exceeds the tile."""
+    H = W = 128
+    configs = [
+        # fits comfortably in a (48, 96) tile
+        ([_quad(20, 30, 60, 18), _quad(70, 80, 40, 20, rot=0.4)], [False, False]),
+        # near the page edges (origin clamping)
+        ([_quad(0, 0, 50, 16), _quad(75, 108, 50, 16)], [False, False]),
+        # one ignored + one tiny/degenerate
+        ([_quad(20, 20, 60, 18), _quad(30, 70, 50, 16), _quad(90, 40, 3, 2)],
+         [False, True, False]),
+        # oversized polygon -> dense fallback for the whole page
+        ([_quad(5, 5, 115, 60), _quad(20, 100, 40, 14)], [False, False]),
+    ]
+    for polys, ignore in configs:
+        buf, valid, ign = pad_polygons(polys, ignore, max_polys=4)
+        args = (jnp.asarray(buf)[None], jnp.asarray(valid)[None], jnp.asarray(ign)[None])
+        dense = make_detection_gt(*args, hw=(H, W), tile_hw=None)
+        tiled = make_detection_gt(*args, hw=(H, W), tile_hw=(48, 96))
+        for k in ("gt", "mask", "thresh_map", "thresh_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(dense[k]), np.asarray(tiled[k]), err_msg=k
+            )
+
+
 def test_device_gt_batched_and_empty():
     H = W = 64
     polys0, ignore0 = [_quad(10, 10, 30, 12)], [False]

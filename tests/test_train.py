@@ -110,6 +110,37 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_fused_prepare_step_matches_host_prepare(tiny_setup):
+    """Tracing prepare INTO the jitted step (Trainer fuse_prepare) must give
+    the same update as host-side prepare + plain step."""
+    cs, loader, model = tiny_setup
+    tx = OptimizerConfig(
+        name="sgd", lr=0.01, momentum=0.0, weight_decay=0.0, schedule="constant"
+    ).make()
+    raw = next(iter(loader))
+    prepared = _prep(raw)
+
+    state0 = create_train_state(model, jax.random.PRNGKey(0), prepared, tx)
+    plain = make_train_step(model, tx, mesh=None, donate=False)
+    s1, m1 = plain(state0, prepared)
+
+    fused = make_train_step(
+        model, tx, mesh=None, donate=False, prepare=lambda b: _prep(b)
+    )
+    raw_arrays = {
+        k: np.asarray(v) for k, v in raw.items() if isinstance(v, np.ndarray)
+    }
+    s2, m2 = fused(state0, raw_arrays)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        # fusing ingest into the step changes XLA's fusion choices: fp32
+        # round-off level differences only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=3e-4)
+
+
 def test_restore_variables_ignores_optimizer_drift(tmp_path, tiny_setup):
     """Params-only restore must load checkpoints trained under a DIFFERENT
     optimizer config (opt_state trees differ -> full-state restore refuses)."""
@@ -197,7 +228,13 @@ def test_trainer_debug_nans_flag(tmp_path, tiny_setup):
 
 
 def test_trainer_threads_step_into_prepare(tmp_path, tiny_setup):
-    """Step-aware prepare fns receive the current trainer step."""
+    """Step-aware prepare fns receive the current trainer step.
+
+    Uses ``fuse_prepare=False`` (host-side prepare): with fusion the step is
+    threaded as the TRACED ``state.step`` inside jit, which a side-effecting
+    probe like this cannot record. The fused path is covered by
+    test_fused_prepare_step_matches_host_prepare and the trainer-resume
+    integration test (fusion is the default)."""
     cs, loader, model = tiny_setup
     from megreader_tpu.train import Trainer
 
@@ -215,6 +252,7 @@ def test_trainer_threads_step_into_prepare(tmp_path, tiny_setup):
         epochs=2,
         use_mesh=False,
         prepare_batch=prep,
+        fuse_prepare=False,
     )
     tr.train(resume=False)
     # first call is the init probe at step 0; afterwards steps advance
