@@ -146,16 +146,28 @@ def _ccl_multigrid_single(mask: jnp.ndarray, max_iters: int) -> jnp.ndarray:
     return jnp.where(mask, labels, -1)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "multigrid"))
+@partial(jax.jit, static_argnames=("max_iters", "multigrid", "impl"))
 def connected_components(
-    mask: jnp.ndarray, max_iters: int = 64, multigrid: bool = False
+    mask: jnp.ndarray, max_iters: int = 64, multigrid: bool = False,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """(B, H, W) bool -> (B, H, W) int32 labels (min linear index; -1 = bg).
 
-    ``multigrid=True`` seeds from an eroded half-res solve (identical
-    labels, fewer full-res sweeps — the stride-1 postproc speedup,
-    SURVEY.md §7 hard part #3).
+    ``impl``: 'auto' (default) dispatches to the VMEM-resident Pallas
+    kernel on TPU (`ops/pallas_ccl.py` — identical labels, ~40x faster at
+    640²: 0.97 vs 39 ms/batch-8 on v5e, the XLA scans bounce every
+    log-stage through HBM) and to the XLA scan solve elsewhere; 'xla' /
+    'pallas' force a path. ``multigrid=True`` (XLA path only) seeds from an
+    eroded half-res solve — identical labels, but measured slower on v5e
+    (log-depth scans barely cheapen at half res); kept for bandwidth-bound
+    backends.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas_ccl import connected_components_pallas
+
+        return connected_components_pallas(mask, max_iters=max_iters)
     if multigrid:
         # XLA miscompile guard (observed on the TPU backend, 2026-08): when a
         # computed mask (e.g. ``prob > t``) feeds the multigrid path inside a

@@ -49,10 +49,11 @@ class E2EPipeline:
         crop_hw=(32, 100),
         box_margin: float = 4.0,
         postproc_stride: int = 1,
+        pool: str = "erode",  # 'erode' | 'max' (stride > 1 only)
         deskew: bool = False,
         rectify: str = "box",  # 'box' | 'deskew' | 'perspective'
         ccl_iters: int = 24,
-        ccl_multigrid: bool = True,
+        ccl_multigrid: bool = False,
         bf16: bool = False,
     ):
         self.detector = detector
@@ -64,10 +65,18 @@ class E2EPipeline:
         self.unclip_ratio = unclip_ratio
         self.crop_hw = tuple(crop_hw)
         self.box_margin = box_margin
-        #: run CCL/region extraction on a max-pooled mask at this stride —
-        #: stride 2 costs ~4x less postproc at <=1 px box error (the box
-        #: margin absorbs it); stride 1 is exact.
+        #: run CCL/region extraction on a pooled mask at this stride —
+        #: stride 2 costs ~4x less postproc; stride 1 is exact.
         self.postproc_stride = postproc_stride
+        #: pooling for the strided mask. 'max' dilates: cells touching text
+        #: turn on, which BRIDGES sub-2s-px gaps and merges close words
+        #: (measured -26 pt e2e recall at s=2 on dense pages). 'erode'
+        #: (min-pool) cannot create false merges — a cell is on only if its
+        #: whole s x s block is on — at the cost of shaving <=1 cell per
+        #: side off each region, compensated by +1 cell of unclip. Region
+        #: SCORES always use the max-pooled prob so partial cells don't
+        #: dilute them below box_thresh.
+        self.pool = pool
         #: straighten rotated regions (three-shear deskew by the component's
         #: principal angle) before recognition — for rotated-text pages.
         self.deskew = deskew
@@ -81,8 +90,12 @@ class E2EPipeline:
         #: bounds worst-case latency on adversarial masks (a hit means a
         #: serpentine component splits into several boxes — benign).
         self.ccl_iters = ccl_iters
-        #: seed full-res labels from an eroded half-res solve (identical
-        #: labels, ~2x less full-res sweep work at stride 1).
+        #: seed full-res labels from an eroded half-res solve. Identical
+        #: labels (tested), but measured SLOWER on v5e text pages (87.3 vs
+        #: 73.0 ms/batch-8): associative-scan sweeps are log-depth, so the
+        #: half-res solve costs nearly as much per sweep as full res and
+        #: the coarse while_loop adds iterations. Off by default; kept for
+        #: shapes/backends where sweeps are bandwidth-bound.
         self.ccl_multigrid = ccl_multigrid
         self.bf16 = bf16
         self._jitted = None
@@ -101,13 +114,17 @@ class E2EPipeline:
 
             s = self.postproc_stride
             if s > 1:
-                # max-pool for both mask and score: cells partially covered
-                # by text keep their on-text probability (an avg would
-                # dilute region scores below box_thresh).
                 prob_s = jax.lax.reduce_window(
                     prob, -jnp.inf, jax.lax.max, (1, s, s), (1, s, s), "VALID"
                 )
-                mask = prob_s > self.bin_thresh
+                if self.pool == "erode":
+                    prob_e = -jax.lax.reduce_window(
+                        -prob, -jnp.inf, jax.lax.max, (1, s, s), (1, s, s),
+                        "VALID",
+                    )
+                    mask = prob_e > self.bin_thresh
+                else:
+                    mask = prob_s > self.bin_thresh
             else:
                 mask = prob > self.bin_thresh
                 prob_s = prob
@@ -116,6 +133,8 @@ class E2EPipeline:
             )
             stats = extract_regions(labels, prob_s, max_regions=K)
             d = unclip_distance_for(stats, ratio=self.unclip_ratio)
+            if s > 1 and self.pool == "erode":
+                d = d + 1.0  # win back the <=1 eroded cell per side
             quads = regions_to_quads(stats, d) * s  # (B, K, 4, 2), full-res px
             valid = stats["valid"] & (stats["score"] >= self.box_thresh) & (
                 stats["area"] >= 8.0

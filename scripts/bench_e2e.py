@@ -30,8 +30,18 @@ def main():
     det = SegDetector()
     rec = CTCRecognizer(num_classes=37)
     rng = jax.random.PRNGKey(0)
-    det_vars = cast_floats(det.init(rng, jnp.zeros((1, H, W, 3))), jnp.bfloat16)
-    rec_vars = cast_floats(rec.init(rng, jnp.zeros((1, 32, 100, 3))), jnp.bfloat16)
+    det_vars = det.init(rng, jnp.zeros((1, H, W, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
+    try:  # trained weights -> realistic masks (honest postproc load)
+        from megreader_tpu.train import CheckpointManager
+
+        mgr = CheckpointManager("/tmp/mr_runs/eval_e2e/det")
+        if mgr.latest_step() is not None:
+            det_vars = mgr.restore_variables(det_vars)
+    except Exception:
+        pass
+    det_vars = cast_floats(det_vars, jnp.bfloat16)
+    rec_vars = cast_floats(rec_vars, jnp.bfloat16)
 
     pipe = E2EPipeline(
         det, rec, max_regions=K, postproc_stride=stride, bf16=True
@@ -50,8 +60,12 @@ def main():
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return out
 
-    rng_np = np.random.default_rng(0)
-    pages = jnp.asarray(rng_np.random((B, H, W, 3)) * 255.0, jnp.float32)
+    from megreader_tpu.data import SyntheticDetectionDataset
+
+    ds = SyntheticDetectionDataset(n=B, hw=(H, W), seed=900, gt_maps=False)
+    pages = jnp.asarray(
+        np.stack([ds[i]["image"] for i in range(B)]).astype(np.float32)
+    )
 
     def timed(iters):
         t0 = time.perf_counter()
