@@ -49,6 +49,40 @@ def test_detector_forward_and_loss():
     assert gsum > 0
 
 
+def test_fused_upsample_head_matches_resize_conv():
+    """The phase-composed upsample head must reproduce the
+    [2x bilinear resize -> zero-padded 3x3 conv] formulation on the SAME
+    parameters — interior AND all borders/corners (fp32)."""
+    from megreader_tpu.models.detector import MapHead
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 24, 40, 32)).astype(np.float32))
+    slow = MapHead(dim=16, fused_upsample=False)
+    fast = MapHead(dim=16, fused_upsample=True)
+    v = slow.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(slow.apply(v, x))
+    got = np.asarray(fast.apply(v, x))  # identical param tree
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=2e-6)
+
+
+def test_fused_upsample_full_detector_same_params():
+    """Full SegDetector: fused and slow heads share checkpoints and
+    produce the same maps."""
+    slow = SegDetector(fpn_dim=32, head_dim=16, fused_upsample=False)
+    fast = SegDetector(fpn_dim=32, head_dim=16, fused_upsample=True)
+    x = jnp.asarray(
+        np.random.default_rng(1).random((1, 64, 96, 3)).astype(np.float32)
+    )
+    v = slow.init(jax.random.PRNGKey(0), x)
+    ref = slow.apply(v, x, train=False)
+    got = fast.apply(v, x, train=False)
+    for k in ("prob", "thresh", "binary"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-5, atol=2e-6,
+            err_msg=k,
+        )
+
+
 def test_representer_extracts_boxes():
     H, W = 64, 96
     prob = np.zeros((1, H, W), np.float32)
