@@ -155,6 +155,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=128)
     ap.add_argument("--retrain", action="store_true")
+    ap.add_argument("--det-steps", type=int, default=640)
+    ap.add_argument("--rec-epochs", type=int, default=25)
     args = ap.parse_args()
 
     if args.retrain:
@@ -164,7 +166,9 @@ def main():
 
     from megreader_tpu.data import SyntheticDetectionDataset
 
-    det, det_vars, rec, rec_vars, cs = train_models()
+    det, det_vars, rec, rec_vars, cs = train_models(
+        det_steps=args.det_steps, rec_epochs=args.rec_epochs
+    )
 
     eval_sets = {
         "upright": SyntheticDetectionDataset(n=args.pages, seed=900, gt_maps=False),
