@@ -25,6 +25,20 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _bn(y, train, name, out_dtype):
+    """BatchNorm normalizing in fp32, activations returned in ``out_dtype``.
+
+    BN statistics/affine run fp32 for numerical stability, but the result is
+    cast straight back to the surrounding compute dtype. Without the cast, a
+    forced ``dtype=float32`` BN upcasts every post-BN activation, and the
+    next conv (dtype=None -> promote(bf16 kernel, fp32 input)) silently runs
+    the MXU in fp32 — in a fully-bf16-cast serving tree the whole trunk
+    serves at half throughput (round-2 regression: 76.4k -> 59.7k crops/s).
+    """
+    y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name=name)(y)
+    return y.astype(out_dtype)
+
+
 def _conv(features, kernel, stride, name=None, use_bias=False, dtype=None):
     pad = kernel // 2
     return nn.Conv(
@@ -54,8 +68,9 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
+        dt = self.dtype if self.dtype is not None else x.dtype
         y = _conv(self.features, 3, self.stride, name="conv1", dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(y)
+        y = _bn(y, train, "bn1", dt)
         y = nn.relu(y)
         if self.use_dcn:
             from .deform import DeformableConv
@@ -63,7 +78,7 @@ class BasicBlock(nn.Module):
             y = DeformableConv(self.features, name="conv2")(y)
         else:
             y = _conv(self.features, 3, (1, 1), name="conv2", dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn2")(y)
+        y = _bn(y, train, "bn2", dt)
         if residual.shape[-1] != self.features or self.stride != (1, 1):
             residual = nn.Conv(
                 self.features,
@@ -73,10 +88,8 @@ class BasicBlock(nn.Module):
                 dtype=self.dtype,
                 name="downsample_conv",
             )(x)
-            residual = nn.BatchNorm(
-                use_running_average=not train, dtype=jnp.float32, name="downsample_bn"
-            )(residual)
-        return nn.relu(y + residual)
+            residual = _bn(residual, train, "downsample_bn", dt)
+        return nn.relu(y + residual.astype(dt))
 
 
 class Bottleneck(nn.Module):
@@ -99,8 +112,9 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         out_ch = self.features * self.expansion
         residual = x
+        dt = self.dtype if self.dtype is not None else x.dtype
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(y)
+        y = _bn(y, train, "bn1", dt)
         y = nn.relu(y)
         if self.use_dcn:
             from .deform import DeformableConv
@@ -108,19 +122,17 @@ class Bottleneck(nn.Module):
             y = DeformableConv(self.features, stride=self.stride, name="conv2")(y)
         else:
             y = _conv(self.features, 3, self.stride, name="conv2", dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn2")(y)
+        y = _bn(y, train, "bn2", dt)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn3")(y)
+        y = _bn(y, train, "bn3", dt)
         if residual.shape[-1] != out_ch or self.stride != (1, 1):
             residual = nn.Conv(
                 out_ch, (1, 1), strides=self.stride, use_bias=False, dtype=self.dtype,
                 name="downsample_conv"
             )(x)
-            residual = nn.BatchNorm(
-                use_running_average=not train, dtype=jnp.float32, name="downsample_bn"
-            )(residual)
-        return nn.relu(y + residual)
+            residual = _bn(residual, train, "downsample_bn", dt)
+        return nn.relu(y + residual.astype(dt))
 
 
 class ResNet(nn.Module):
@@ -150,6 +162,7 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype if self.dtype is not None else x.dtype
         if self.variant == "det":
             y = nn.Conv(
                 self.width,
@@ -160,13 +173,13 @@ class ResNet(nn.Module):
                 dtype=self.dtype,
                 name="stem_conv",
             )(x)
-            y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="stem_bn")(y)
+            y = _bn(y, train, "stem_bn", dt)
             y = nn.relu(y)
             y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
             stage_strides = [(1, 1), (2, 2), (2, 2), (2, 2)]
         elif self.variant in ("rec", "rec2d"):
             y = _conv(self.width, 3, (1, 1), name="stem_conv", dtype=self.dtype)(x)
-            y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="stem_bn")(y)
+            y = _bn(y, train, "stem_bn", dt)
             y = nn.relu(y)
             y = nn.max_pool(y, (2, 2), strides=(2, 2))
             if self.variant == "rec":
