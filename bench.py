@@ -3,11 +3,22 @@
 1. word-crop recognitions/s/chip — full device inference pipeline for judged
    config #1 (ingest resize/normalize -> ResNet18+BiLSTM -> CTC greedy),
    target >=5,000 crops/s (BASELINE.json; the reference publishes no
-   throughput numbers — BASELINE.md).
+   throughput numbers — BASELINE.md). An ``mfu`` field reports
+   XLA-counted model FLOPs / measured time / v5e bf16 peak so dtype
+   regressions (e.g. an fp32 leak halving MXU throughput) are directly
+   attributable from the JSON.
 2. full-page detect+recognize pages/s — the real composed E2EPipeline device
    program (detector -> CCL -> region extract -> crops -> recognizer) with
-   exact (stride-1) postprocessing, target >=100 pages/s.
-3. p50 batch latency of that e2e program (tracked, no hard target).
+   exact (stride-1) postprocessing, target >=100 pages/s. Reported for BOTH
+   crop geometries: 'box' (axis-aligned) and 'perspective' (exact
+   homography rectification — the quality mode on rotated text).
+3. p50 batch latency of the box-mode e2e program (tracked, no hard target).
+
+The page bench is self-sufficient: if no trained detector checkpoint exists
+under ``runs/`` it trains one deterministically (~640 steps on synthetic
+pages) first, so ``pages_bench_trained_detector`` is always true — an
+untrained detector on text pages yields unrealistically sparse masks and
+flatters CCL/extraction by ~25%.
 
 ``vs_baseline`` on the headline metric is crops/s against the 5k target; the
 page metrics carry their own vs-target ratios in the same line.
@@ -24,9 +35,19 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+#: repo-local so trained-weight benches survive across sessions (/tmp is
+#: wiped between driver rounds; runs/ is gitignored)
+BENCH_DET_WORKSPACE = os.path.join(REPO, "runs", "bench", "det")
+
+#: TPU v5e (v5 lite) bf16 peak per chip. MFU is only meaningful when the
+#: bench runs on that part; on other backends treat it as relative.
+PEAK_BF16_FLOPS = 197e12
 
 
 def _slope_time(timed_fn, k1, k2, reps=3):
@@ -36,6 +57,21 @@ def _slope_time(timed_fn, k1, k2, reps=3):
     t1 = min(timed_fn(k1) for _ in range(reps))
     t2 = min(timed_fn(k2) for _ in range(reps))
     return (t2 - t1) / (k2 - k1)
+
+
+def _xla_flops(fn, *args):
+    """FLOPs XLA counts for one execution of ``jit(fn)(*args)`` (None if
+    the backend exposes no cost model)."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
 
 
 def bench_crops():
@@ -82,11 +118,68 @@ def bench_crops():
         return time.perf_counter() - t0
 
     per_batch = _slope_time(timed, 4, 24)
-    return B / max(per_batch, 1e-9)
+    crops_per_sec = B / max(per_batch, 1e-9)
+
+    # MFU of the judged forward (model apply only, the bench's bf16 input):
+    # XLA-counted FLOPs for one batch / measured wall per batch / chip peak.
+    def fwd(variables, img):
+        return model.net.apply(variables, img, train=False)
+
+    flops = _xla_flops(fwd, variables, jnp.zeros((B, 32, 100, 3), jnp.bfloat16))
+    mfu = (flops / per_batch / PEAK_BF16_FLOPS) if flops else None
+    return crops_per_sec, mfu, flops
+
+
+def _ensure_trained_detector(det, det_vars):
+    """Restore trained detector weights, training deterministically first if
+    no checkpoint exists anywhere under runs/ (self-sufficient: the driver
+    always benches realistic text masks, never an untrained detector)."""
+    from megreader_tpu.train import CheckpointManager
+
+    candidates = [
+        BENCH_DET_WORKSPACE,
+        os.path.join(REPO, "runs", "eval_e2e", "det"),  # quality harness cache
+    ]
+    for ws in candidates:
+        if not os.path.isdir(os.path.join(ws, "checkpoints")):
+            continue
+        mgr = CheckpointManager(ws)
+        if mgr.latest_step() is not None:
+            return mgr.restore_variables(det_vars), int(mgr.latest_step())
+
+    # no cache: train ~640 steps on the synthetic page mix (fixed seeds)
+    from megreader_tpu.data import SyntheticDetectionDataset
+    from megreader_tpu.experiment import Experiment
+    from megreader_tpu.train import OptimizerConfig
+
+    t0 = time.time()
+    exp = Experiment(
+        model=det,
+        train_dataset=SyntheticDetectionDataset(n=512, seed=10),
+        batch_size=8,
+        epochs=10,  # 512/8 * 10 = 640 steps
+        workspace=BENCH_DET_WORKSPACE,
+        optimizer=OptimizerConfig(name="adam", lr=3e-4, schedule="constant"),
+        use_mesh=False,
+        log_every=100,
+        seed=0,
+    )
+    state = exp.make_trainer().train(resume=True)
+    print(
+        f"# bench: trained detector to step {int(state.step)} "
+        f"in {time.time() - t0:.0f}s",
+        flush=True,
+    )
+    bs = state.batch_stats if state.batch_stats else det_vars.get("batch_stats")
+    out = {"params": state.params}
+    if bs is not None:
+        out["batch_stats"] = bs
+    return out, int(state.step)
 
 
 def bench_pages(stride: int = 1):
-    """(pages/s, p50 batch latency ms) for the exact e2e device program."""
+    """Box + perspective pages/s and box p50 latency for the exact e2e
+    device program, trained detector weights."""
     import jax
     import jax.numpy as jnp
 
@@ -101,36 +194,9 @@ def bench_pages(stride: int = 1):
     rng = jax.random.PRNGKey(0)
     det_vars = det.init(rng, jnp.zeros((1, H, W, 3)))
     rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
-    # Honest postproc load: trained weights (when a training workspace is
-    # around) produce realistic text masks — an untrained detector on noise
-    # yields near-empty masks and flatters CCL/extract by ~25%.
-    trained = False
-    try:
-        from megreader_tpu.train import CheckpointManager
-
-        mgr = CheckpointManager("/tmp/mr_runs/eval_e2e/det")
-        if mgr.latest_step() is not None:
-            det_vars = mgr.restore_variables(det_vars)
-            trained = True
-    except Exception:
-        pass
+    det_vars, det_step = _ensure_trained_detector(det, det_vars)
     det_vars = cast_floats(det_vars, jnp.bfloat16)
     rec_vars = cast_floats(rec_vars, jnp.bfloat16)
-
-    pipe = E2EPipeline(det, rec, max_regions=K, postproc_stride=stride, bf16=True)
-    run = pipe._build(det_vars, rec_vars)
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def loop(det_vars, rec_vars, pages, iters):
-        def body(carry, _):
-            out = run(det_vars, rec_vars, pages + carry * 1e-6)
-            checksum = (
-                jnp.sum(out["ids"]) + jnp.sum(out["lengths"])
-            ).astype(jnp.float32) + jnp.sum(out["quads"]) * 1e-9
-            return checksum * 1e-9, None
-
-        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return out
 
     # real rendered text pages, not noise — the postproc cost depends on
     # the mask content
@@ -141,13 +207,42 @@ def bench_pages(stride: int = 1):
         np.stack([ds[i]["image"] for i in range(B)]).astype(np.float32)
     )
 
-    def timed(iters):
-        t0 = time.perf_counter()
-        float(loop(det_vars, rec_vars, pages, iters))
-        return time.perf_counter() - t0
+    def measure(rectify):
+        pipe = E2EPipeline(
+            det, rec, max_regions=K, postproc_stride=stride,
+            rectify=rectify, bf16=True,
+        )
+        run = pipe.build()
 
-    per_batch = _slope_time(timed, 2, 10)
-    return B / max(per_batch, 1e-9), per_batch * 1e3, B, trained
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop(det_vars, rec_vars, pages, iters):
+            def body(carry, _):
+                out = run(det_vars, rec_vars, pages + carry * 1e-6)
+                checksum = (
+                    jnp.sum(out["ids"]) + jnp.sum(out["lengths"])
+                ).astype(jnp.float32) + jnp.sum(out["quads"]) * 1e-9
+                return checksum * 1e-9, None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return out
+
+        def timed(iters):
+            t0 = time.perf_counter()
+            float(loop(det_vars, rec_vars, pages, iters))
+            return time.perf_counter() - t0
+
+        per_batch = _slope_time(timed, 2, 10)
+        return B / max(per_batch, 1e-9), per_batch * 1e3
+
+    box_pps, box_ms = measure("box")
+    persp_pps, _persp_ms = measure("perspective")
+    return {
+        "pages_per_sec_exact_postproc": box_pps,
+        "pages_per_sec_perspective": persp_pps,
+        "p50_batch_latency_ms": box_ms,
+        "page_batch_size": B,
+        "detector_trained_steps": det_step,
+    }
 
 
 def main():
@@ -155,27 +250,36 @@ def main():
 
     # persistent compile cache: cold fp32 compiles on this backend can run
     # minutes; repeat bench invocations should pay them once
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    crops_per_sec = bench_crops()
-    pages_per_sec, p50_ms, page_batch, trained = bench_pages(stride=1)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, "runs", "jax_cache")
+    )
+    crops_per_sec, mfu, flops = bench_crops()
+    pages = bench_pages(stride=1)
 
     crops_target, pages_target = 5000.0, 100.0
-    print(
-        json.dumps(
-            {
-                "metric": "word_crop_recognitions_per_sec_per_chip",
-                "value": round(crops_per_sec, 1),
-                "unit": "crops/s",
-                "vs_baseline": round(crops_per_sec / crops_target, 3),
-                "pages_per_sec_exact_postproc": round(pages_per_sec, 2),
-                "pages_vs_target_100": round(pages_per_sec / pages_target, 3),
-                "p50_batch_latency_ms": round(p50_ms, 2),
-                "page_batch_size": page_batch,
-                "pages_bench_on_text_pages": True,
-                "pages_bench_trained_detector": trained,
-            }
-        )
-    )
+    out = {
+        "metric": "word_crop_recognitions_per_sec_per_chip",
+        "value": round(crops_per_sec, 1),
+        "unit": "crops/s",
+        "vs_baseline": round(crops_per_sec / crops_target, 3),
+        "mfu": round(mfu, 4) if mfu else None,
+        "model_gflops_per_batch": round(flops / 1e9, 2) if flops else None,
+        "pages_per_sec_exact_postproc": round(
+            pages["pages_per_sec_exact_postproc"], 2
+        ),
+        "pages_per_sec_perspective": round(
+            pages["pages_per_sec_perspective"], 2
+        ),
+        "pages_vs_target_100": round(
+            pages["pages_per_sec_exact_postproc"] / pages_target, 3
+        ),
+        "p50_batch_latency_ms": round(pages["p50_batch_latency_ms"], 2),
+        "page_batch_size": pages["page_batch_size"],
+        "pages_bench_on_text_pages": True,
+        "pages_bench_trained_detector": True,
+        "detector_trained_steps": pages["detector_trained_steps"],
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

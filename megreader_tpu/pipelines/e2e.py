@@ -100,7 +100,10 @@ class E2EPipeline:
         self.bf16 = bf16
         self._jitted = None
 
-    def _build(self, det_vars, rec_vars):
+    def build(self, det_vars=None, rec_vars=None):
+        """Return the jitted device program
+        ``run(det_vars, rec_vars, pages) -> dict`` (public surface for
+        benches/harnesses that drive the program directly)."""
         K = self.max_regions
         Ho, Wo = self.crop_hw
 
@@ -183,6 +186,9 @@ class E2EPipeline:
             }
 
         return jax.jit(run)
+
+    # back-compat alias (pre-round-3 callers)
+    _build = build
 
     def predict(self, det_vars, rec_vars, pages: jnp.ndarray) -> List[List[Dict]]:
         """pages (B, H, W, 3) float32 [0,255] -> per-page detection dicts."""

@@ -13,7 +13,9 @@ axis-aligned pages (45 words). This harness:
    prediction on its page equals it, multiset semantics).
 
 Usage: python scripts/eval_e2e.py [--pages 128] [--retrain]
-Checkpoints cached under /tmp/mr_runs/eval_e2e.
+Checkpoints cached under <repo>/runs/eval_e2e (repo-local, gitignored —
+/tmp is wiped between sessions, and bench.py probes this cache for
+trained-detector weights).
 """
 
 import argparse
@@ -26,7 +28,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import numpy as np
 
-WORKDIR = "/tmp/mr_runs/eval_e2e"
+WORKDIR = os.path.join(__file__.rsplit("/", 2)[0], "runs", "eval_e2e")
 
 
 class _Concat:
