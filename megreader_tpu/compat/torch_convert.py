@@ -85,10 +85,19 @@ def convert_state_dict(
         if leaf == "bias":
             _set(params, path + ("bias",), arr)
             continue
-        # Everything else (``embedding`` tables, raw parameters like the
-        # attention net's ``pos2d``) stores verbatim: such params are defined
-        # with identical layout on both sides by construction.
-        _set(params, path + (leaf,), arr)
+        # Verbatim passthrough is restricted to a known-good allowlist of
+        # leaves defined with identical layout on both sides by construction
+        # (``embedding`` tables, the attention net's ``pos2d``). Anything
+        # else fails fast here — a typo'd name_map or unexpected checkpoint
+        # key must not surface later as a confusing param-tree mismatch
+        # (ADVICE r2 #4).
+        if leaf in ("embedding", "pos2d"):
+            _set(params, path + (leaf,), arr)
+            continue
+        raise KeyError(
+            f"unhandled torch checkpoint key {key!r} (leaf {leaf!r}); add a "
+            "conversion rule or rename via name_map"
+        )
 
     out = {"params": params}
     if batch_stats:

@@ -65,14 +65,25 @@ def detection_collate_polys(samples: Sequence[Dict], max_polys: int = 16) -> Dic
     host ships ~1/5 the bytes of ``detection_collate`` and does no cv2
     work, removing the input-bound ceiling on detector training
     (VERDICT r1 #4; SURVEY.md §3.1 hot-loop note).
+
+    ``max_polys`` is the MINIMUM buffer capacity, not a cap: when a batch
+    carries more polygons per page (dense ICDAR pages with '###' ignores
+    routinely exceed 16) the buffer grows to the next power-of-two bucket,
+    so no instance is ever silently dropped and trained as background
+    (ADVICE r2 #1). Power-of-two bucketing bounds jit recompiles of the
+    fused prepare+train step at log2(P_max/16) shape variants.
     """
     from ..ops.gt_maps import pad_polygons
 
     batch = {"image": np.stack([s["image"] for s in samples])}
     if "scale" in samples[0]:
         batch["scale"] = np.stack([s["scale"] for s in samples])
+    cap = max_polys
+    need = max((len(s["polygons"]) for s in samples), default=0)
+    while cap < need:
+        cap *= 2
     polys, valid, ign = zip(
-        *(pad_polygons(s["polygons"], s["ignore"], max_polys) for s in samples)
+        *(pad_polygons(s["polygons"], s["ignore"], cap) for s in samples)
     )
     batch["polys"] = np.stack(polys)
     batch["poly_valid"] = np.stack(valid)

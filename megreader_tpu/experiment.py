@@ -64,9 +64,16 @@ def _detection_prepare(batch: Dict) -> Dict:
     }
 
 
-def _detection_prepare_device(batch: Dict) -> Dict:
+def _detection_prepare_device(batch: Dict, gt_kwargs: Optional[Dict] = None) -> Dict:
     """Device-GT path: ship polygons, rasterize shrink/border maps on device
-    (ops/gt_maps.py) — removes the host cv2 bottleneck (VERDICT r1 #4)."""
+    (ops/gt_maps.py) — removes the host cv2 bottleneck (VERDICT r1 #4).
+
+    ``gt_kwargs`` carries the dataset's GT geometry config (shrink_ratio,
+    min_text_size, thresh range) so the device targets match what the host
+    cv2 path would produce for the same dataset — a dataset configured with
+    a non-default shrink_ratio must not silently train against 0.4
+    (ADVICE r2 #2).
+    """
     from .ops.gt_maps import make_detection_gt
 
     image = jnp.asarray(batch["image"]).astype(jnp.float32)
@@ -77,6 +84,7 @@ def _detection_prepare_device(batch: Dict) -> Dict:
         jnp.asarray(batch["poly_valid"]),
         jnp.asarray(batch["poly_ignore"]),
         hw=(image.shape[1], image.shape[2]),
+        **(gt_kwargs or {}),
     )
     out = {"image": normalize(image)}
     out.update(maps)
@@ -144,7 +152,15 @@ class Experiment:
                 collate = functools.partial(
                     detection_collate_polys, max_polys=max_polys
                 )
-                prepare = _detection_prepare_device
+                # honor the dataset's GT geometry config on the device path
+                gt_kwargs = {}
+                for attr in ("shrink_ratio", "min_text_size", "thresh_min", "thresh_max"):
+                    v = getattr(train_dataset, attr, None)
+                    if v is not None:
+                        gt_kwargs[attr] = float(v)
+                prepare = functools.partial(
+                    _detection_prepare_device, gt_kwargs=gt_kwargs
+                )
                 for ds in (train_dataset, eval_dataset):
                     if ds is not None and hasattr(ds, "gt_maps"):
                         ds.gt_maps = False  # skip the host cv2 rasterization

@@ -48,15 +48,18 @@ class CTCRecognizerNet(nn.Module):
     #: squeeze/reshape convention, selectable for checkpoint parity with
     #: references that reshape rather than pool (VERDICT r1 missing #1).
     height_collapse: str = "mean"
+    #: 1-based trunk stages with deformable 3x3 convs (DCNv2); the
+    #: reference's deformable recognition backbones (SURVEY.md §2.3).
+    dcn_stages: Any = ()
     #: compute dtype for convs/matmuls (jnp.bfloat16 = mixed-precision
     #: training: fp32 params/BN/loss, bf16 MXU work). None = fp32.
     dtype: Any = None
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        feat = BACKBONES[self.backbone](variant="rec", dtype=self.dtype)(
-            images, train=train
-        )
+        feat = BACKBONES[self.backbone](
+            variant="rec", dtype=self.dtype, dcn_stages=tuple(self.dcn_stages)
+        )(images, train=train)
         if self.height_collapse == "mean":
             seq = jnp.mean(feat, axis=1)  # (B, W', C)
         elif self.height_collapse == "reshape":
@@ -93,6 +96,7 @@ class CTCRecognizer:
         loss_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
         height_collapse: str = "mean",
         compute_dtype: str = "float32",  # 'float32' | 'bfloat16'
+        dcn_stages=(),  # e.g. (3, 4): deformable 3x3 convs in those stages
     ):
         self.net = CTCRecognizerNet(
             num_classes=num_classes,
@@ -101,6 +105,7 @@ class CTCRecognizer:
             hidden=hidden,
             num_encoder_layers=num_encoder_layers,
             height_collapse=height_collapse,
+            dcn_stages=tuple(dcn_stages),
             dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
         )
         self.num_classes = num_classes
@@ -144,12 +149,25 @@ class CTCRecognizer:
         metrics = {"loss": loss}
         return loss, (metrics, new_state)
 
-    def decode(self, variables, images, mode: str = "greedy", beam_width: int = 8):
+    def decode(
+        self,
+        variables,
+        images,
+        mode: str = "greedy",
+        beam_width: int = 8,
+        blank_collapse: float = 1.0,
+    ):
+        """``blank_collapse < 1`` opts the beam into blank-collapse frame
+        skipping (~3.2x faster at 0.999, approximate on borderline frames —
+        see ops/ctc.py)."""
         logits = self.net.apply(variables, images, train=False)
         B, T, _ = logits.shape
         lengths = jnp.full((B,), T, dtype=jnp.int32)
         if mode == "greedy":
             return ctc_greedy_decode(logits, lengths, blank=self.blank)
         if mode == "beam":
-            return ctc_beam_decode(logits, lengths, beam_width=beam_width, blank=self.blank)
+            return ctc_beam_decode(
+                logits, lengths, beam_width=beam_width, blank=self.blank,
+                blank_collapse=blank_collapse,
+            )
         raise ValueError(f"unknown decode mode {mode!r}")

@@ -146,7 +146,8 @@ class Ctc2dRecognizer:
         return loss, ({"loss": loss}, new_state)
 
     def decode(
-        self, variables, images, mode: str = "greedy", beam_width: int = 8
+        self, variables, images, mode: str = "greedy", beam_width: int = 8,
+        blank_collapse: float = 1.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         heads = self.net.apply(variables, images, train=False)
         B = images.shape[0]
@@ -161,7 +162,8 @@ class Ctc2dRecognizer:
 
                 fused = fuse_heights(emit, height)
                 return ctc_beam_decode(
-                    fused, lengths, beam_width=beam_width, blank=self.blank
+                    fused, lengths, beam_width=beam_width, blank=self.blank,
+                    blank_collapse=blank_collapse,
                 )
             return ctc2d_greedy_decode(emit, height, lengths, blank=self.blank)
         emit, trans, init = heads

@@ -298,24 +298,63 @@ def make_detection_gt(
     )
 
 
+_nonquad_warned = False
+
+
+def _is_convex(p) -> bool:
+    """Orientation-consistent cross-product test for an (V, 2) polygon."""
+    import numpy as np
+
+    e = np.roll(p, -1, axis=0) - p
+    cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+    return bool(np.all(cross >= -1e-6) or np.all(cross <= 1e-6))
+
+
 def pad_polygons(polys, ignore, max_polys: int, n_vertices: int = 4):
     """Host-side: list of (V, 2) arrays -> static (P, V, 2) + masks.
 
-    Polygons beyond ``max_polys`` are dropped (rare for text pages; raise P
-    in the config if datasets demand it).
+    ``detection_collate_polys`` sizes ``max_polys`` to cover every polygon
+    in the batch (power-of-two bucketing), so nothing is dropped here;
+    overflow of a caller-fixed capacity raises rather than silently
+    training dropped instances as background.
+
+    The device rasterizer is exact for CONVEX polygons only, and >4-vertex
+    annotations are decimated to ``n_vertices`` by index resampling — both
+    silently change GT for curved/MLT-style polygons, so the first such
+    input warns loudly (ADVICE r2 #3): datasets with non-quad annotations
+    should use the host cv2 path (``Experiment(device_gt=False)``), which
+    rasterizes arbitrary polygons exactly.
     """
     import numpy as np
 
+    global _nonquad_warned
+
+    if len(polys) > max_polys:
+        raise ValueError(
+            f"{len(polys)} polygons exceed buffer capacity {max_polys}; "
+            "size the buffer to the batch (detection_collate_polys does)"
+        )
     buf = np.zeros((max_polys, n_vertices, 2), np.float32)
     valid = np.zeros((max_polys,), bool)
     ign = np.zeros((max_polys,), bool)
     for i, (p, ig) in enumerate(zip(polys, ignore)):
-        if i >= max_polys:
-            break
         p = np.asarray(p, np.float32)
-        if p.shape[0] != n_vertices:  # resample/clip to the static count
-            idx = np.linspace(0, p.shape[0] - 1, n_vertices).round().astype(int)
-            p = p[idx]
+        if p.shape[0] != n_vertices or not _is_convex(p):
+            if p.shape[0] != n_vertices:  # resample/clip to the static count
+                idx = np.linspace(0, p.shape[0] - 1, n_vertices).round().astype(int)
+                p = p[idx]
+            if not _nonquad_warned:
+                import warnings
+
+                warnings.warn(
+                    "device-GT path received a non-quad or non-convex "
+                    "polygon; it will be approximated by a (possibly "
+                    "decimated) convex rasterization. For curved/polygon "
+                    "annotations use Experiment(device_gt=False) — the "
+                    "host cv2 path rasterizes arbitrary polygons exactly.",
+                    stacklevel=3,
+                )
+                _nonquad_warned = True
         buf[i] = p
         valid[i] = True
         ign[i] = bool(ig)
