@@ -120,10 +120,12 @@ def roi_pool_bilinear(
     features: (H, W, C) one image's feature map.
     rois: (R, 4) boxes (x0, y0, x1, y1) in input-image coords
       (multiplied by ``spatial_scale`` to reach feature coords).
-    bin_offsets: (R, out_size, out_size, 2) as (dy, dx) in *normalized* RoI
+    out_size: int k (square k×k bins) or (kh, kw) — text RoIs pool into
+      wide rectangles (e.g. (4, 32)) whose width becomes the CTC time axis.
+    bin_offsets: (R, kh, kw, 2) as (dy, dx) in *normalized* RoI
       units (reference convention: offsets scale with RoI height/width), or
       None for plain RoI align.
-    Returns (R, out_size, out_size, C).
+    Returns (R, kh, kw, C).
 
     Unlike the conv path, this is a per-RoI op outside the dense hot loop
     (R·k²·g² ≈ 10⁴ samples), so a vectorized bilinear gather is the right
@@ -132,18 +134,19 @@ def roi_pool_bilinear(
     """
     H, W, C = features.shape
     R = rois.shape[0]
-    k, g = out_size, sample_ratio
+    kh, kw = (out_size, out_size) if isinstance(out_size, int) else out_size
+    g = sample_ratio
     x0, y0, x1, y1 = [rois[:, i] * spatial_scale for i in range(4)]
     rw = jnp.maximum(x1 - x0, 0.1)  # (R,)
     rh = jnp.maximum(y1 - y0, 0.1)
-    bw = rw / k
-    bh = rh / k
+    bw = rw / kw
+    bh = rh / kh
 
     # Sub-grid sample positions per bin: bin (i, j), sample (u, v).
-    bi = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 0)
-    bj = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 1)
-    su = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 2)
-    sv = jax.lax.broadcasted_iota(jnp.float32, (k, k, g, g), 3)
+    bi = jax.lax.broadcasted_iota(jnp.float32, (kh, kw, g, g), 0)
+    bj = jax.lax.broadcasted_iota(jnp.float32, (kh, kw, g, g), 1)
+    su = jax.lax.broadcasted_iota(jnp.float32, (kh, kw, g, g), 2)
+    sv = jax.lax.broadcasted_iota(jnp.float32, (kh, kw, g, g), 3)
     # y = y0 + (i + (u+0.5)/g) * bh ; x analogous.
     ys = y0[:, None, None, None, None] + (bi + (su + 0.5) / g)[None] * bh[:, None, None, None, None]
     xs = x0[:, None, None, None, None] + (bj + (sv + 0.5) / g)[None] * bw[:, None, None, None, None]
@@ -151,8 +154,8 @@ def roi_pool_bilinear(
         ys = ys + (bin_offsets[..., 0] * rh[:, None, None])[..., None, None]
         xs = xs + (bin_offsets[..., 1] * rw[:, None, None])[..., None, None]
 
-    flat_y = ys.reshape(R, k * k * g * g)
-    flat_x = xs.reshape(R, k * k * g * g)
+    flat_y = ys.reshape(R, kh * kw * g * g)
+    flat_x = xs.reshape(R, kh * kw * g * g)
     x0i = jnp.floor(flat_x)
     y0i = jnp.floor(flat_y)
     dx = (flat_x - x0i)[..., None]
@@ -170,8 +173,8 @@ def roi_pool_bilinear(
         + at(y0c, x0c + 1) * dx * (1 - dy)
         + at(y0c + 1, x0c) * (1 - dx) * dy
         + at(y0c + 1, x0c + 1) * dx * dy
-    )  # (R, k*k*g*g, C)
-    return jnp.mean(v.reshape(R, k, k, g * g, C), axis=3)
+    )  # (R, kh*kw*g*g, C)
+    return jnp.mean(v.reshape(R, kh, kw, g * g, C), axis=3)
 
 
 class DeformRoIPooling(nn.Module):

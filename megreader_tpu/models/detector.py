@@ -239,6 +239,10 @@ class SegDetectorNet(nn.Module):
     head_dim: int = 64
     k: float = 50.0  # differentiable-binarization steepness
     width: int = 64  # trunk base width
+    #: 1-based trunk stages whose 3x3 convs are deformable (DCNv2) — the
+    #: reference's deformable-ResNet detectors use (3, 4) or (2, 3, 4)
+    #: (SURVEY.md §2.3/§2.6 N1).
+    dcn_stages: Tuple[int, ...] = ()
     #: conv compute dtype (bf16 = mixed-precision training; maps/loss fp32)
     dtype: Any = None
     fused_upsample: bool = True
@@ -246,7 +250,8 @@ class SegDetectorNet(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
         feats = resnet_variant(
-            self.num_backbone, "det", width=self.width, dtype=self.dtype
+            self.num_backbone, "det", width=self.width, dtype=self.dtype,
+            dcn_stages=tuple(self.dcn_stages),
         )(images, train=train)
         fused = FPNNeck(self.fpn_dim, self.fpn_dim, dtype=self.dtype, name="fpn")(feats)
         prob = MapHead(
@@ -277,9 +282,11 @@ class SegDetector:
         width: int = 64,
         compute_dtype: str = "float32",  # 'float32' | 'bfloat16'
         fused_upsample: bool = True,
+        dcn_stages=(),  # e.g. (3, 4): deformable 3x3 convs in those stages
     ):
         self.net = SegDetectorNet(
             backbone, fpn_dim, head_dim, k, width,
+            dcn_stages=tuple(dcn_stages),
             dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
             fused_upsample=fused_upsample,
         )
