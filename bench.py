@@ -177,7 +177,7 @@ def _ensure_trained_detector(det, det_vars):
     return out, int(state.step)
 
 
-def bench_pages(stride: int = 1):
+def bench_pages():
     """Box + perspective pages/s and box p50 latency for the exact e2e
     device program, trained detector weights."""
     import jax
@@ -209,8 +209,7 @@ def bench_pages(stride: int = 1):
 
     def measure(rectify):
         pipe = E2EPipeline(
-            det, rec, max_regions=K, postproc_stride=stride,
-            rectify=rectify, bf16=True,
+            det, rec, max_regions=K, rectify=rectify, bf16=True,
         )
         run = pipe.build()
 
@@ -254,7 +253,7 @@ def main():
         "jax_compilation_cache_dir", os.path.join(REPO, "runs", "jax_cache")
     )
     crops_per_sec, mfu, flops = bench_crops()
-    pages = bench_pages(stride=1)
+    pages = bench_pages()
 
     crops_target, pages_target = 5000.0, 100.0
     out = {

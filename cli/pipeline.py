@@ -6,7 +6,7 @@ visualization.
     python cli/pipeline.py \
         --detector experiments/seg_detector_synth.yaml --det-workspace W1 \
         --recognizer experiments/ctc_resnet18_synth.yaml --rec-workspace W2 \
-        --images page1.jpg page2.jpg [--out-dir vis/] [--stride 2]
+        --images page1.jpg page2.jpg [--out-dir vis/]
 """
 
 import argparse
@@ -48,7 +48,6 @@ def main():
     ap.add_argument("--page-size", type=int, default=640)
     ap.add_argument("--max-regions", type=int, default=32)
     ap.add_argument("--box-thresh", type=float, default=0.5)
-    ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--deskew", action="store_true")
     ap.add_argument(
         "--rectify", default="box", choices=["box", "deskew", "perspective"],
@@ -71,7 +70,6 @@ def main():
         rec_exp.charset,
         max_regions=args.max_regions,
         box_thresh=args.box_thresh,
-        postproc_stride=args.stride,
         deskew=args.deskew,
         rectify=args.rectify,
     )

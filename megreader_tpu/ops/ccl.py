@@ -198,37 +198,28 @@ def _region_stats_single(
     K = max_regions
     flat_lbl = labels.reshape(-1)
     valid = flat_lbl >= 0
-    one = valid.astype(jnp.float32)
 
-    # Candidate roots without a scatter: a root is the pixel whose label is
-    # its own index (component minimum). Rank roots by local mask density
-    # (integral-image box sum — pure cumsums) and keep K2 candidates; their
-    # exact areas come from comparison-mask row sums. A segment_sum scatter
-    # over N costs ~25 ms/page-batch on v5e; this path ~3 ms. Caveat: with
-    # more than K2 components, only the densest K2 compete (ample for text;
-    # K2 = 4K).
-    K2 = max(4 * K, 64)
+    # Candidate roots without a scatter OR a full-image sort: a root is the
+    # pixel whose label is its own index (component minimum). Roots compact
+    # into K2 candidate slots by prefix-rank (one 1-D cumsum) + a one-hot
+    # comparison sum — the previous density-ranked ``top_k`` over all N
+    # pixels cost 4.1 of extract's 5.7 ms/batch on v5e (the integral-image
+    # cumsums + the N-element sort); this path is ~0.5 ms. Exact areas come
+    # from comparison-mask row sums as before. Caveat: with more than K2
+    # components only the FIRST K2 in raster order compete for the K slots
+    # (K2 = 8K — far above any text page's word count).
+    K2 = max(8 * K, 128)
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
         + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ).reshape(-1)
     is_root = (flat_lbl == idx) & valid
 
-    R = 15  # density window half-size (31x31 box)
-    ii = jnp.cumsum(jnp.cumsum(one.reshape(H, W), axis=0), axis=1)
-    ii = jnp.pad(ii, ((1, 0), (1, 0)))  # ii[y, x] = sum over [0:y, 0:x)
-    # Edge-replicated pad so window clamping is a static slice, not a gather.
-    iipad = jnp.pad(ii, ((R, R + 1), (R, R + 1)), mode="edge")
-
-    def corner(dy, dx):
-        return jax.lax.dynamic_slice(iipad, (R + dy, R + dx), (H, W))
-
-    density = (
-        corner(R + 1, R + 1) - corner(-R, R + 1) - corner(R + 1, -R) + corner(-R, -R)
-    ).reshape(-1)
-    root_score = jnp.where(is_root, density + 1.0, 0.0)
-    cand_score, cand_idx = jax.lax.top_k(root_score, K2)
-    cand_alive = cand_score > 0.0
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # root's raster ordinal
+    slot = jnp.where(is_root & (rank < K2), rank, K2)  # K2 = spill bin
+    onehot = slot[None, :] == jnp.arange(K2, dtype=jnp.int32)[:, None]  # (K2, N)
+    cand_idx = jnp.sum(jnp.where(onehot, idx, 0), axis=1)
+    cand_alive = jnp.any(onehot, axis=1)
 
     mask_c = (flat_lbl[None, :] == cand_idx[:, None]) & valid[None, :]  # (K2, N)
     cand_area = jnp.sum(mask_c, axis=1).astype(jnp.float32) * cand_alive

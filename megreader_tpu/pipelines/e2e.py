@@ -48,8 +48,6 @@ class E2EPipeline:
         unclip_ratio: float = 1.5,
         crop_hw=(32, 100),
         box_margin: float = 4.0,
-        postproc_stride: int = 1,
-        pool: str = "erode",  # 'erode' | 'max' (stride > 1 only)
         deskew: bool = False,
         rectify: str = "box",  # 'box' | 'deskew' | 'perspective'
         ccl_iters: int = 24,
@@ -65,18 +63,12 @@ class E2EPipeline:
         self.unclip_ratio = unclip_ratio
         self.crop_hw = tuple(crop_hw)
         self.box_margin = box_margin
-        #: run CCL/region extraction on a pooled mask at this stride —
-        #: stride 2 costs ~4x less postproc; stride 1 is exact.
-        self.postproc_stride = postproc_stride
-        #: pooling for the strided mask. 'max' dilates: cells touching text
-        #: turn on, which BRIDGES sub-2s-px gaps and merges close words
-        #: (measured -26 pt e2e recall at s=2 on dense pages). 'erode'
-        #: (min-pool) cannot create false merges — a cell is on only if its
-        #: whole s x s block is on — at the cost of shaving <=1 cell per
-        #: side off each region, compensated by +1 cell of unclip. Region
-        #: SCORES always use the max-pooled prob so partial cells don't
-        #: dilute them below box_thresh.
-        self.pool = pool
+        # NOTE: the round-1/2 ``postproc_stride=2`` mode (CCL on a pooled
+        # mask) was REMOVED in round 3: the VMEM-resident Pallas CCL kernel
+        # made exact stride-1 postproc nearly free (CCL 1.3 ms of a 23.6 ms
+        # batch), so the pooled mode's measured win shrank to 1.2x while
+        # still costing -26 pts of recall from +-2 px quad coarseness — a
+        # trap, not a trade-off (VERDICT r2 #4).
         #: straighten rotated regions (three-shear deskew by the component's
         #: principal angle) before recognition — for rotated-text pages.
         self.deskew = deskew
@@ -115,30 +107,13 @@ class E2EPipeline:
             maps = self.detector.net.apply(det_vars, x, train=False)
             prob = maps["prob"].astype(jnp.float32)
 
-            s = self.postproc_stride
-            if s > 1:
-                prob_s = jax.lax.reduce_window(
-                    prob, -jnp.inf, jax.lax.max, (1, s, s), (1, s, s), "VALID"
-                )
-                if self.pool == "erode":
-                    prob_e = -jax.lax.reduce_window(
-                        -prob, -jnp.inf, jax.lax.max, (1, s, s), (1, s, s),
-                        "VALID",
-                    )
-                    mask = prob_e > self.bin_thresh
-                else:
-                    mask = prob_s > self.bin_thresh
-            else:
-                mask = prob > self.bin_thresh
-                prob_s = prob
+            mask = prob > self.bin_thresh
             labels = connected_components(
                 mask, max_iters=self.ccl_iters, multigrid=self.ccl_multigrid
             )
-            stats = extract_regions(labels, prob_s, max_regions=K)
+            stats = extract_regions(labels, prob, max_regions=K)
             d = unclip_distance_for(stats, ratio=self.unclip_ratio)
-            if s > 1 and self.pool == "erode":
-                d = d + 1.0  # win back the <=1 eroded cell per side
-            quads = regions_to_quads(stats, d) * s  # (B, K, 4, 2), full-res px
+            quads = regions_to_quads(stats, d)  # (B, K, 4, 2), px
             valid = stats["valid"] & (stats["score"] >= self.box_thresh) & (
                 stats["area"] >= 8.0
             )

@@ -3,7 +3,7 @@
 >=100 pages/s, p50 tracked). Times the real E2EPipeline device program via
 slope timing (see bench.py notes on the axon tunnel).
 
-Usage: bench_e2e.py [postproc_stride]   (default 1 = exact postproc)
+Times exact stride-1 postproc (the pooled stride-2 mode was removed in round 3).
 """
 
 import functools
@@ -25,28 +25,24 @@ def main():
     from megreader_tpu.ops.precision import cast_floats
     from megreader_tpu.pipelines import E2EPipeline
 
-    stride = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     B, H, W, K = 8, 640, 640, 32
     det = SegDetector()
     rec = CTCRecognizer(num_classes=37)
     rng = jax.random.PRNGKey(0)
     det_vars = det.init(rng, jnp.zeros((1, H, W, 3)))
     rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
-    try:  # trained weights -> realistic masks (honest postproc load)
-        from megreader_tpu.train import CheckpointManager
+    # trained weights -> realistic masks (honest postproc load); trains a
+    # detector into runs/bench/det if no cache exists (shared with bench.py)
+    import bench as _bench
 
-        mgr = CheckpointManager("/tmp/mr_runs/eval_e2e/det")
-        if mgr.latest_step() is not None:
-            det_vars = mgr.restore_variables(det_vars)
-    except Exception:
-        pass
+    det_vars, _step = _bench._ensure_trained_detector(det, det_vars)
     det_vars = cast_floats(det_vars, jnp.bfloat16)
     rec_vars = cast_floats(rec_vars, jnp.bfloat16)
 
     pipe = E2EPipeline(
-        det, rec, max_regions=K, postproc_stride=stride, bf16=True
+        det, rec, max_regions=K, bf16=True
     )
-    run = pipe._build(det_vars, rec_vars)
+    run = pipe.build(det_vars, rec_vars)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(det_vars, rec_vars, pages, iters):
@@ -83,7 +79,6 @@ def main():
         json.dumps(
             {
                 "metric": "full_page_detect_recognize_images_per_sec",
-                "postproc_stride": stride,
                 "value": round(pages_per_sec, 2),
                 "unit": "pages/s",
                 "p50_batch_latency_ms": round(per_batch * 1e3, 2),

@@ -8,7 +8,7 @@ axis-aligned pages (45 words). This harness:
    recognizer on synthetic crops (device-augmented),
 2. evaluates the COMPOSED pipeline on >=100 fresh pages per condition:
    upright and rotated/perspective page sets x rectification modes
-   (box / deskew / perspective) x postproc stride (1 / 2),
+   (box / deskew / perspective),
 3. reports exact-text word recall (a GT word counts as recalled when some
    prediction on its page equals it, multiset semantics).
 
@@ -122,15 +122,14 @@ def train_models(det_steps=640, rec_epochs=25):
     return det_exp.model, det_vars, rec_exp.model, rec_vars, cs
 
 
-def eval_condition(det, det_vars, rec, rec_vars, cs, pages_ds, rectify, stride,
+def eval_condition(det, det_vars, rec, rec_vars, cs, pages_ds, rectify,
                    n_pages, batch=8):
     import jax.numpy as jnp
 
     from megreader_tpu.pipelines import E2EPipeline
 
     pipe = E2EPipeline(
-        det, rec, charset=cs, max_regions=16, rectify=rectify,
-        postproc_stride=stride, bf16=True,
+        det, rec, charset=cs, max_regions=16, rectify=rectify, bf16=True,
     )
     hit = tot = 0
     t_infer = 0.0
@@ -178,16 +177,14 @@ def main():
             n=args.pages, seed=901, gt_maps=False, max_rotate=25, max_persp=0.08
         ),
     }
-    conditions = [
-        ("box", 1), ("box", 2), ("deskew", 1), ("perspective", 1),
-    ]
+    conditions = ["box", "deskew", "perspective"]
     report = {}
     for set_name, ds in eval_sets.items():
-        for rectify, stride in conditions:
+        for rectify in conditions:
             hit, tot, t = eval_condition(
-                det, det_vars, rec, rec_vars, cs, ds, rectify, stride, args.pages
+                det, det_vars, rec, rec_vars, cs, ds, rectify, args.pages
             )
-            key = f"{set_name}/{rectify}/s{stride}"
+            key = f"{set_name}/{rectify}"
             report[key] = {
                 "recall": round(hit / max(tot, 1), 4),
                 "hits": hit,

@@ -55,44 +55,6 @@ def test_e2e_pipeline_runs_and_masks_invalid():
             assert det_item["polygon"].shape == (4, 2)
 
 
-def test_e2e_stride2_pool_modes():
-    """stride-2 pooling: 'max' bridges sub-2px gaps (may merge close
-    words), 'erode' (default) cannot create false merges. On a mask with
-    two words 2 px apart, erode must keep them separate."""
-    det = SegDetector(fpn_dim=64, head_dim=16)
-    rec = CTCRecognizer(num_classes=37, hidden=32, num_encoder_layers=1)
-    rng = jax.random.PRNGKey(0)
-    det_vars = det.init(rng, jnp.zeros((1, 64, 64, 3)))
-    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
-    for pool in ("erode", "max"):
-        pipe = E2EPipeline(
-            det, rec, max_regions=4, box_thresh=0.0,
-            postproc_stride=2, pool=pool,
-        )
-        pages = jnp.asarray(
-            np.random.default_rng(4).random((1, 64, 64, 3)) * 255, jnp.float32
-        )
-        assert len(pipe.predict(det_vars, rec_vars, pages)) == 1
-
-    # pooled-mask semantics directly (independent of the detector): two
-    # thick bars separated by a 2-px gap that straddles a pool-cell
-    # boundary (rows 13-14 -> cells 6 and 7 each contain one bar pixel)
-    prob = np.zeros((1, 32, 64), np.float32)
-    prob[0, 8:13] = 1.0
-    prob[0, 15:21] = 1.0
-    import jax.lax as lax
-
-    p = jnp.asarray(prob)
-    mx = lax.reduce_window(p, -jnp.inf, lax.max, (1, 2, 2), (1, 2, 2), "VALID")
-    er = -lax.reduce_window(-p, -jnp.inf, lax.max, (1, 2, 2), (1, 2, 2), "VALID")
-    from megreader_tpu.ops.ccl import connected_components
-
-    n_max = len(np.unique(np.asarray(connected_components(mx > 0.3))[0]) ) - 1
-    n_er = len(np.unique(np.asarray(connected_components(er > 0.3))[0])) - 1
-    assert n_max == 1  # max-pool bridged the 2-px gap
-    assert n_er == 2   # erode kept the bars separate
-
-
 def test_recognizer_predictor_strings():
     cs = Charset()
     rec = CTCRecognizer(num_classes=cs.num_classes, hidden=32, num_encoder_layers=1)
@@ -112,7 +74,6 @@ def test_e2e_deskew_option_runs():
     pages = jnp.asarray(np.random.default_rng(4).random((1, 64, 64, 3)) * 255, jnp.float32)
     det_vars = det.init(rng, jnp.zeros((1, 64, 64, 3)))
     rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
-    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0, deskew=True,
-                       postproc_stride=2)
+    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0, deskew=True)
     results = pipe.predict(det_vars, rec_vars, pages)
     assert len(results) == 1
