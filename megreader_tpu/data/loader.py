@@ -94,6 +94,32 @@ def detection_collate_polys(samples: Sequence[Dict], max_polys: int = 16) -> Dic
     return batch
 
 
+def spotting_collate(
+    samples: Sequence[Dict],
+    charset: Charset,
+    max_polys: int = 16,
+    max_label_len: int = 16,
+) -> Dict:
+    """RoI-spotting collate: detection polygon buffers + per-polygon
+    transcript labels (models/spotter.py consumes boxes + labels jointly).
+    Builds on detection_collate_polys (same power-of-two capacity
+    bucketing), then encodes each sample's ``texts`` aligned with its
+    polygons."""
+    batch = detection_collate_polys(samples, max_polys)
+    B, cap = batch["poly_valid"].shape
+    labels = np.zeros((B, cap, max_label_len), np.int32)
+    lengths = np.zeros((B, cap), np.int32)
+    for b, s in enumerate(samples):
+        texts = s.get("texts") or []
+        if texts:
+            enc, lens = charset.encode_batch(texts[:cap], max_label_len)
+            labels[b, : len(enc)] = enc
+            lengths[b, : len(enc)] = lens
+    batch["label"] = labels
+    batch["label_length"] = lengths
+    return batch
+
+
 @register
 class Loader:
     """Iterate a dataset in batches with optional shuffle/prefetch/host-shard."""

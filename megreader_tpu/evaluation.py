@@ -66,9 +66,35 @@ def evaluate_detection(
     return measurer.gather(raws)
 
 
+def evaluate_spotting(exp: Experiment, variables) -> Dict[str, float]:
+    """RoI spotter over GT boxes: per-word accuracy/NED (recognition
+    metrics conditioned on true localization — isolates the pooled-feature
+    recognition quality from detector recall)."""
+    import jax
+
+    measurer = RecognitionMeasurer()
+    decode = jax.jit(lambda v, img, rois: exp.model.decode(v, img, rois))
+    preds, gts = [], []
+    assert exp.eval_loader is not None, "experiment has no eval dataset"
+    for batch in exp.eval_loader:
+        prepped = exp.prepare(batch)
+        ids, lens = decode(variables, prepped["image"], prepped["rois"])
+        valid = np.asarray(prepped["roi_valid"])
+        ids, lens = np.asarray(ids), np.asarray(lens)
+        for b, texts in enumerate(batch["texts"]):
+            for k, t in enumerate(texts[: ids.shape[1]]):
+                if not valid[b, k]:
+                    continue
+                preds.append(exp.charset.decode(ids[b, k][: lens[b, k]]))
+                gts.append(exp.charset.normalize(t))
+    return measurer.measure(preds, gts)
+
+
 def evaluate(
     exp: Experiment, variables, mode: str = "greedy", protocol: str = "icdar2015"
 ) -> Dict[str, float]:
     if exp.task in ("CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"):
         return evaluate_recognition(exp, variables, mode=mode)
+    if exp.task == "RoITextSpotter":
+        return evaluate_spotting(exp, variables)
     return evaluate_detection(exp, variables, protocol=protocol)

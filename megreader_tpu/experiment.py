@@ -24,6 +24,7 @@ from .data.loader import (
     detection_collate,
     detection_collate_polys,
     recognition_collate,
+    spotting_collate,
 )
 from .ops.image import normalize, resize_with_aspect_pad
 from .train.train_step import OptimizerConfig
@@ -31,6 +32,7 @@ from .train.trainer import Trainer
 
 RECOGNITION_TASKS = {"CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"}
 DETECTION_TASKS = {"SegDetector"}
+SPOTTING_TASKS = {"RoITextSpotter"}
 
 
 def _recognition_prepare(batch: Dict, crop_hw=(32, 100), augment_rng=None) -> Dict:
@@ -89,6 +91,27 @@ def _detection_prepare_device(batch: Dict, gt_kwargs: Optional[Dict] = None) -> 
     out = {"image": normalize(image)}
     out.update(maps)
     return out
+
+
+def _spotting_prepare(batch: Dict, box_margin: float = 2.0) -> Dict:
+    """RoI spotting: polygons -> axis-aligned boxes with a small margin
+    (matching the e2e crop margin role); labels pass through."""
+    image = normalize(jnp.asarray(batch["image"]).astype(jnp.float32))
+    polys = jnp.asarray(batch["polys"])  # (B, P, 4, 2)
+    H, W = image.shape[1], image.shape[2]
+    m = box_margin
+    x0 = jnp.clip(jnp.min(polys[..., 0], axis=-1) - m, 0, W - 1)
+    x1 = jnp.clip(jnp.max(polys[..., 0], axis=-1) + m, 1, W)
+    y0 = jnp.clip(jnp.min(polys[..., 1], axis=-1) - m, 0, H - 1)
+    y1 = jnp.clip(jnp.max(polys[..., 1], axis=-1) + m, 1, H)
+    return {
+        "image": image,
+        "rois": jnp.stack([x0, y0, x1, y1], axis=-1),
+        "roi_valid": jnp.asarray(batch["poly_valid"])
+        & ~jnp.asarray(batch["poly_ignore"]),
+        "label": jnp.asarray(batch["label"]),
+        "label_length": jnp.asarray(batch["label_length"]),
+    }
 
 
 @register
@@ -167,6 +190,17 @@ class Experiment:
             else:
                 collate = detection_collate
                 prepare = _detection_prepare
+        elif self.task in SPOTTING_TASKS:
+            collate = functools.partial(
+                spotting_collate,
+                charset=self.charset,
+                max_polys=max_polys,
+                max_label_len=max_label_len,
+            )
+            prepare = _spotting_prepare
+            for ds in (train_dataset, eval_dataset):
+                if ds is not None and hasattr(ds, "gt_maps"):
+                    ds.gt_maps = False  # spotting needs polygons+texts only
         else:
             raise ValueError(f"unknown task for model {self.task}")
         self.collate = collate

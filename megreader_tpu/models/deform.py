@@ -32,7 +32,7 @@ accepting the drift.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -187,7 +187,8 @@ class DeformRoIPooling(nn.Module):
     converted checkpoints sane).
     """
 
-    out_size: int = 7
+    #: int k (square) or (kh, kw) bin grid — wide grids for text RoIs.
+    out_size: Any = 7
     sample_ratio: int = 2
     spatial_scale: float = 1.0
     #: reference gamma: offsets are predicted in normalized RoI units and
@@ -199,25 +200,26 @@ class DeformRoIPooling(nn.Module):
     @nn.compact
     def __call__(self, features: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
         k = self.out_size
+        kh, kw = (k, k) if isinstance(k, int) else tuple(k)
         base = roi_pool_bilinear(
-            features, rois, None, k, self.sample_ratio, self.spatial_scale
-        )  # (R, k, k, C)
+            features, rois, None, (kh, kw), self.sample_ratio, self.spatial_scale
+        )  # (R, kh, kw, C)
         R = base.shape[0]
         h = nn.Dense(self.hidden, name="trans_fc1")(base.reshape(R, -1))
         h = nn.relu(h)
-        n_out = k * k * (3 if self.modulated else 2)
+        n_out = kh * kw * (3 if self.modulated else 2)
         trans = nn.Dense(
             n_out,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="trans_fc2",
         )(h)
-        offsets = trans[:, : k * k * 2].reshape(R, k, k, 2) * self.trans_std
+        offsets = trans[:, : kh * kw * 2].reshape(R, kh, kw, 2) * self.trans_std
         out = roi_pool_bilinear(
-            features, rois, offsets, k, self.sample_ratio, self.spatial_scale
+            features, rois, offsets, (kh, kw), self.sample_ratio, self.spatial_scale
         )
         if self.modulated:
-            mask = jax.nn.sigmoid(trans[:, k * k * 2 :].reshape(R, k, k, 1))
+            mask = jax.nn.sigmoid(trans[:, kh * kw * 2 :].reshape(R, kh, kw, 1))
             out = out * mask
         return out
 
