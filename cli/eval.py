@@ -32,7 +32,8 @@ def main():
     from megreader_tpu.train import CheckpointManager
 
     first = exp.prepare(next(iter(exp.eval_loader or exp.train_loader)))
-    variables = exp.model.init(jax.random.PRNGKey(0), first["image"])
+    init_args = (first["image"], first["rois"]) if "rois" in first else (first["image"],)
+    variables = exp.model.init(jax.random.PRNGKey(0), *init_args)
     mgr = CheckpointManager(exp.workspace)
     step = args.step if args.step is not None else mgr.latest_step()
     variables = mgr.restore_variables(variables, step=step)

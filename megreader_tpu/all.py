@@ -1,4 +1,23 @@
-"""Import every registrable component (the CLI's registry bootstrap)."""
+"""Import every registrable component (the CLI's registry bootstrap).
+
+Also pins a persistent XLA compilation cache (repo-local ``runs/jax_cache``)
+when the process hasn't configured one: a cold SegDetector train-step compile
+costs ~9 minutes on the axon tunnel, ~0 s cached. Respects any cache dir the
+host already set (tests use /tmp/jax_cache via conftest.py)."""
+
+import os as _os
+
+import jax as _jax
+
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "runs",
+            "jax_cache",
+        ),
+    )
 
 from .core.charset import AttentionCharset, Charset  # noqa: F401
 from .data.datasets import (  # noqa: F401
