@@ -147,6 +147,25 @@ def _ensure_trained_detector(det, det_vars):
         if mgr.latest_step() is not None:
             return mgr.restore_variables(det_vars), int(mgr.latest_step())
 
+    # committed fp16 asset (scripts/export_bench_det.py): a fresh checkout
+    # benches trained weights without retraining/cold-compiling first
+    asset = os.path.join(REPO, "assets", "bench_det_fp16.msgpack")
+    if os.path.isfile(asset):
+        import jax
+        from flax import serialization
+
+        with open(asset, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+
+        def widen(x):
+            x = np.asarray(x)
+            return x.astype(np.float32) if x.dtype == np.float16 else x
+
+        restored = serialization.from_state_dict(
+            det_vars, jax.tree.map(widen, payload["variables"])
+        )
+        return restored, int(payload["step"])
+
     # no cache: train ~640 steps on the synthetic page mix (fixed seeds)
     from megreader_tpu.data import SyntheticDetectionDataset
     from megreader_tpu.experiment import Experiment
