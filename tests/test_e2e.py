@@ -77,3 +77,32 @@ def test_e2e_deskew_option_runs():
     pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0, deskew=True)
     results = pipe.predict(det_vars, rec_vars, pages)
     assert len(results) == 1
+
+
+def test_e2e_sharded_serving_matches_single_device():
+    """build(mesh=...) partitions the page program over the 'data' axis with
+    replicated variables; outputs must match the unsharded program."""
+    from megreader_tpu.parallel.mesh import make_mesh
+
+    det = SegDetector(fpn_dim=64, head_dim=16)
+    rec = CTCRecognizer(num_classes=37, hidden=32, num_encoder_layers=1)
+    rng = jax.random.PRNGKey(0)
+    H = W = 64
+    B = 8  # one page per virtual device
+    pages = jnp.asarray(
+        np.random.default_rng(2).random((B, H, W, 3)) * 255.0, jnp.float32
+    )
+    det_vars = det.init(rng, jnp.zeros((1, H, W, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
+
+    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0, bin_thresh=0.3)
+    ref = pipe.build()(det_vars, rec_vars, pages)
+
+    mesh = make_mesh()
+    sharded = pipe.build(mesh=mesh)(det_vars, rec_vars, pages)
+    assert len(sharded["ids"].sharding.device_set) == 8
+    for k in ("ids", "lengths", "valid"):
+        np.testing.assert_array_equal(np.asarray(sharded[k]), np.asarray(ref[k]))
+    np.testing.assert_allclose(
+        np.asarray(sharded["quads"]), np.asarray(ref["quads"]), atol=1e-3
+    )
