@@ -137,6 +137,8 @@ class Experiment:
         seed: int = 0,
         device_gt: bool = True,
         max_polys: int = 16,
+        loader_workers: int = 4,
+        loader_worker_mode: str = "thread",
         name: str = "exp",
     ):
         self.model = model
@@ -207,12 +209,20 @@ class Experiment:
         self.prepare = prepare
 
         self.train_loader = (
-            Loader(train_dataset, batch_size, collate, shuffle=True, host_shard=True)
+            Loader(
+                train_dataset, batch_size, collate, shuffle=True,
+                host_shard=True, workers=loader_workers,
+                worker_mode=loader_worker_mode,
+            )
             if train_dataset is not None
             else None
         )
         self.eval_loader = (
-            Loader(eval_dataset, batch_size, collate, shuffle=False, drop_last=False)
+            Loader(
+                eval_dataset, batch_size, collate, shuffle=False,
+                drop_last=False, workers=loader_workers,
+                worker_mode=loader_worker_mode,
+            )
             if eval_dataset is not None
             else None
         )

@@ -71,3 +71,28 @@ def test_icdar_ignore_regions(tmp_path):
     s = ds[0]
     assert s["ignore"] == [False, True]
     assert s["texts"][0] == "hello"
+
+
+def test_loader_process_workers_match_threads():
+    """worker_mode='process' (the reference's forked num_workers analog)
+    must produce byte-identical batches to thread workers — only faster on
+    GIL-bound __getitem__."""
+    import numpy as np
+
+    from megreader_tpu.data import SyntheticDetectionDataset
+    from megreader_tpu.data.loader import Loader, detection_collate_polys
+
+    ds = SyntheticDetectionDataset(
+        n=8, hw=(128, 128), seed=5, gt_maps=False, max_rotate=20
+    )
+    out = {}
+    for mode in ("thread", "process"):
+        ld = Loader(
+            ds, 4, detection_collate_polys, shuffle=False, workers=2,
+            worker_mode=mode, prefetch=0,
+        )
+        out[mode] = [b for b in ld]
+        ld.close()
+    for bt, bp in zip(out["thread"], out["process"]):
+        np.testing.assert_array_equal(bt["image"], bp["image"])
+        np.testing.assert_array_equal(bt["polys"], bp["polys"])
