@@ -50,7 +50,8 @@ def main():
     ap.add_argument("--box-thresh", type=float, default=0.5)
     ap.add_argument("--deskew", action="store_true")
     ap.add_argument(
-        "--rectify", default="box", choices=["box", "deskew", "perspective"],
+        "--rectify", default="perspective",
+        choices=["box", "deskew", "perspective"],
         help="crop geometry: axis-aligned box, three-shear deskew, or exact "
              "perspective rectification of the rotated quad (MXU path)",
     )

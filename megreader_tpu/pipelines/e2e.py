@@ -49,7 +49,13 @@ class E2EPipeline:
         crop_hw=(32, 100),
         box_margin: float = 4.0,
         deskew: bool = False,
-        rectify: str = "box",  # 'box' | 'deskew' | 'perspective'
+        #: 'perspective' (default) | 'box' | 'deskew'. Perspective is the
+        #: quality path AND within 5% of box throughput (342 vs 359 pages/s
+        #: v5e batch-8): with GT quads the recognizer reads rectified crops
+        #: at 100% on both upright and rotated pages, while GT BOXES read
+        #: 90.1%/44.3% (scripts/diag_rec_domain.py) — axis-aligned crops
+        #: are geometrically lossy by design, not by training.
+        rectify: str = "perspective",
         ccl_iters: int = 24,
         ccl_multigrid: bool = False,
         bf16: bool = False,
@@ -77,7 +83,8 @@ class E2EPipeline:
         #: 'perspective' = exact homography rectification of the rotated
         #: quad on the MXU path (ops/image.rectify_quads_mxu) — for
         #: significantly rotated/perspective text (SURVEY.md §2.6 N5).
-        self.rectify = "deskew" if (deskew and rectify == "box") else rectify
+        # legacy deskew flag upgrades an unspecified rectify mode only
+        self.rectify = "deskew" if (deskew and rectify == "perspective") else rectify
         #: CCL sweep cap. Text components converge in <5 sweeps; the cap
         #: bounds worst-case latency on adversarial masks (a hit means a
         #: serpentine component splits into several boxes — benign).

@@ -126,6 +126,38 @@ class CheckpointManager:
             },
         }
 
+    def restore_variables_host(
+        self, variables: Any, step: Optional[int] = None
+    ) -> Any:
+        """Like restore_variables, but restores to HOST numpy arrays with
+        explicit RestoreArgs — required when this process runs on a
+        different platform than the one that saved (an orbax checkpoint's
+        saved shardings name devices a CPU-only process can't rebuild)."""
+        import numpy as np
+
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return variables
+        if self._mgr is None:
+            return self.restore_variables(variables, step=step)
+        import orbax.checkpoint as ocp
+
+        target = {"params": variables["params"]}
+        if "batch_stats" in variables:
+            target["batch_stats"] = variables["batch_stats"]
+        target = jax.tree.map(np.asarray, target)
+        out = self._mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item=target,
+                restore_args=jax.tree.map(
+                    lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target
+                ),
+                partial_restore=True,
+            ),
+        )
+        return {**variables, **{k: out[k] for k in target}}
+
     def wait(self):
         if self._mgr is not None:
             self._mgr.wait_until_finished()

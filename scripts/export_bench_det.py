@@ -71,26 +71,7 @@ def main():
     template = jax.tree.map(
         np.asarray, det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     )
-    mgr = CheckpointManager(src)
-    if mgr._mgr is not None:
-        import orbax.checkpoint as ocp
-
-        target = {"params": template["params"]}
-        if "batch_stats" in template:
-            target["batch_stats"] = template["batch_stats"]
-        out = mgr._mgr.restore(
-            step,
-            args=ocp.args.PyTreeRestore(
-                item=target,
-                restore_args=jax.tree.map(
-                    lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target
-                ),
-                partial_restore=True,
-            ),
-        )
-        variables = {**template, **{k: out[k] for k in target}}
-    else:
-        variables = mgr.restore_variables(template, step=step)
+    variables = CheckpointManager(src).restore_variables_host(template, step=step)
 
     def shrink(x):
         x = np.asarray(x)
