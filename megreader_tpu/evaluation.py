@@ -43,7 +43,7 @@ def evaluate_detection(
     representer = representer or SegDetectorRepresenter()
     measurer = DetEvalMeasurer() if protocol == "deteval" else DetectionMeasurer()
     forward = jax.jit(
-        lambda v, x: exp.model.net.apply(v, x, train=False)["prob"]
+        lambda v, x: exp.model.net.apply(v, x, train=False, heads=("prob",))["prob"]
     )
     raws = []
     assert exp.eval_loader is not None, "experiment has no eval dataset"

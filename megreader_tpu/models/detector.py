@@ -248,22 +248,34 @@ class SegDetectorNet(nn.Module):
     fused_upsample: bool = True
 
     @nn.compact
-    def __call__(self, images, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self, images, train: bool = False, heads: Tuple[str, ...] = ("prob", "thresh")
+    ) -> Dict[str, jnp.ndarray]:
+        """``heads`` selects which map heads to run. The DB threshold map is
+        a TRAINING auxiliary (the adaptive-binarization target); serving
+        binarizes the prob map at a fixed threshold, so inference callers
+        pass ``heads=('prob',)`` and skip the whole thresh-head tail —
+        nearly half the full-res head compute. Unused head params are
+        simply not touched (flax ignores unvisited variables at apply)."""
         feats = resnet_variant(
             self.num_backbone, "det", width=self.width, dtype=self.dtype,
             dcn_stages=tuple(self.dcn_stages),
         )(images, train=train)
         fused = FPNNeck(self.fpn_dim, self.fpn_dim, dtype=self.dtype, name="fpn")(feats)
-        prob = MapHead(
-            self.head_dim, dtype=self.dtype,
-            fused_upsample=self.fused_upsample, name="prob_head",
-        )(fused, train=train)
-        thresh = MapHead(
-            self.head_dim, dtype=self.dtype,
-            fused_upsample=self.fused_upsample, name="thresh_head",
-        )(fused, train=train)
-        binary = jax.nn.sigmoid(self.k * (prob - thresh))
-        return {"prob": prob, "thresh": thresh, "binary": binary}
+        out: Dict[str, jnp.ndarray] = {}
+        if "prob" in heads:
+            out["prob"] = MapHead(
+                self.head_dim, dtype=self.dtype,
+                fused_upsample=self.fused_upsample, name="prob_head",
+            )(fused, train=train)
+        if "thresh" in heads:
+            out["thresh"] = MapHead(
+                self.head_dim, dtype=self.dtype,
+                fused_upsample=self.fused_upsample, name="thresh_head",
+            )(fused, train=train)
+        if "prob" in heads and "thresh" in heads:
+            out["binary"] = jax.nn.sigmoid(self.k * (out["prob"] - out["thresh"]))
+        return out
 
 
 @register
@@ -297,8 +309,13 @@ class SegDetector:
     def init(self, rng, sample_images):
         return self.net.init(rng, sample_images, train=False)
 
-    def apply(self, variables, images, train: bool = False, mutable=False):
-        return self.net.apply(variables, images, train=train, mutable=mutable)
+    def apply(
+        self, variables, images, train: bool = False, mutable=False,
+        heads=("prob", "thresh"),
+    ):
+        return self.net.apply(
+            variables, images, train=train, mutable=mutable, heads=tuple(heads)
+        )
 
     def loss(self, variables, batch, train: bool = True, rngs=None):
         """batch keys (all (B,H,W) float32 unless noted):

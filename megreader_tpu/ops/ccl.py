@@ -182,33 +182,25 @@ def connected_components(
     return jax.vmap(lambda m: f(m, max_iters))(mask)
 
 
-def _region_stats_single(
-    labels: jnp.ndarray, scores: jnp.ndarray, max_regions: int
-) -> Dict[str, jnp.ndarray]:
-    """TPU-shaped region statistics.
+def _candidate_roots_single(labels: jnp.ndarray, max_regions: int):
+    """Top-K component roots + exact areas for ONE image, gather-free.
 
-    One ``segment_sum`` finds per-label areas (the only scatter); the top-K
-    labels become boolean masks by broadcast COMPARISON (no per-pixel
-    gather), all first/second moments collapse into a single (K, N) x (N, F)
-    MXU matmul, and rotated extents are dense masked reductions. The naive
-    gather+segment_max formulation costs ~45 ms/page on v5e; this one ~3 ms.
+    A root is the pixel whose label is its own index (component minimum).
+    Roots compact into K2 candidate slots by prefix-rank (one 1-D cumsum)
+    + a one-hot comparison sum — the previous density-ranked ``top_k``
+    over all N pixels cost 4.1 of extract's 5.7 ms/batch on v5e (the
+    integral-image cumsums + the N-element sort); this path is ~0.5 ms.
+    Exact areas come from comparison-mask row sums. Caveat: with more than
+    K2 components only the FIRST K2 in raster order compete for the K
+    slots (K2 = 8K — far above any text page's word count).
+
+    Returns ``(top_area (K,) f32, top_root (K,) i32, region_valid (K,))``.
     """
     H, W = labels.shape
-    N = H * W
     K = max_regions
+    K2 = max(8 * K, 128)
     flat_lbl = labels.reshape(-1)
     valid = flat_lbl >= 0
-
-    # Candidate roots without a scatter OR a full-image sort: a root is the
-    # pixel whose label is its own index (component minimum). Roots compact
-    # into K2 candidate slots by prefix-rank (one 1-D cumsum) + a one-hot
-    # comparison sum — the previous density-ranked ``top_k`` over all N
-    # pixels cost 4.1 of extract's 5.7 ms/batch on v5e (the integral-image
-    # cumsums + the N-element sort); this path is ~0.5 ms. Exact areas come
-    # from comparison-mask row sums as before. Caveat: with more than K2
-    # components only the FIRST K2 in raster order compete for the K slots
-    # (K2 = 8K — far above any text page's word count).
-    K2 = max(8 * K, 128)
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
         + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -226,7 +218,26 @@ def _region_stats_single(
 
     top_area, sel = jax.lax.top_k(cand_area, K)
     top_root = jnp.take(cand_idx, sel)
-    region_valid = top_area > 0
+    return top_area, top_root, top_area > 0
+
+
+def _region_stats_single(
+    labels: jnp.ndarray, scores: jnp.ndarray, max_regions: int
+) -> Dict[str, jnp.ndarray]:
+    """TPU-shaped region statistics.
+
+    One ``segment_sum`` finds per-label areas (the only scatter); the top-K
+    labels become boolean masks by broadcast COMPARISON (no per-pixel
+    gather), all first/second moments collapse into a single (K, N) x (N, F)
+    MXU matmul, and rotated extents are dense masked reductions. The naive
+    gather+segment_max formulation costs ~45 ms/page on v5e; this one ~3 ms.
+    """
+    H, W = labels.shape
+    N = H * W
+    K = max_regions
+    flat_lbl = labels.reshape(-1)
+    valid = flat_lbl >= 0
+    top_area, top_root, region_valid = _candidate_roots_single(labels, K)
 
     # (K, N) membership masks by comparison — VPU-wide, no gathers.
     mask = (flat_lbl[None, :] == top_root[:, None]) & valid[None, :]
@@ -274,15 +285,36 @@ def _region_stats_single(
     }
 
 
-@partial(jax.jit, static_argnames=("max_regions",))
+@partial(jax.jit, static_argnames=("max_regions", "impl"))
 def extract_regions(
-    labels: jnp.ndarray, scores: jnp.ndarray, max_regions: int = 64
+    labels: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_regions: int = 64,
+    impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """(B,H,W) labels + prob map -> per-region stats, K fixed slots per image.
 
-    lax.map (not vmap) over the batch keeps the (K, N) intermediates at
-    one-image footprint (~50 MB at 640^2, K=32).
+    ``impl``: 'auto' (default) dispatches on TPU to the hybrid path —
+    XLA candidate/top-K phase + VMEM-resident Pallas moments/extents
+    kernels (`ops/pallas_extract.py`): identical integer semantics, and
+    theta/extents get centered-moment accuracy (the XLA raw-moment
+    E[x²]−E[x]² loses up to ~1.5 rad of theta at 640² coordinates in
+    f32). 'xla' / 'pallas' / 'pallas_full' (standalone candidates kernel
+    too) force a path. On the XLA path, lax.map (not vmap) over the
+    batch keeps the (K, N) intermediates at one-image footprint (~50 MB
+    at 640^2, K=32).
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("pallas", "pallas_full"):
+        from .pallas_extract import extract_regions_pallas
+
+        return extract_regions_pallas(
+            labels,
+            scores,
+            max_regions=max_regions,
+            candidates="pallas" if impl == "pallas_full" else "xla",
+        )
     return jax.lax.map(
         lambda args: _region_stats_single(args[0], args[1], max_regions),
         (labels, scores),

@@ -59,6 +59,7 @@ class E2EPipeline:
         ccl_iters: int = 24,
         ccl_multigrid: bool = False,
         bf16: bool = False,
+        extract_impl: str = "auto",
     ):
         self.detector = detector
         self.recognizer = recognizer
@@ -97,6 +98,9 @@ class E2EPipeline:
         #: shapes/backends where sweeps are bandwidth-bound.
         self.ccl_multigrid = ccl_multigrid
         self.bf16 = bf16
+        #: region-stats path: 'auto' = VMEM Pallas kernels on TPU
+        #: (ops/pallas_extract.py), XLA elsewhere; 'xla'/'pallas' force
+        self.extract_impl = extract_impl
         self._jitted = None
 
     def build(self, det_vars=None, rec_vars=None, mesh=None):
@@ -118,14 +122,21 @@ class E2EPipeline:
             x = normalize(pages)
             if self.bf16:
                 x = x.astype(jnp.bfloat16)
-            maps = self.detector.net.apply(det_vars, x, train=False)
+            # serving only binarizes the prob map at a fixed threshold — the
+            # DB thresh head is a training auxiliary, so skip its whole
+            # full-res tail (nearly half the head compute)
+            maps = self.detector.net.apply(
+                det_vars, x, train=False, heads=("prob",)
+            )
             prob = maps["prob"].astype(jnp.float32)
 
             mask = prob > self.bin_thresh
             labels = connected_components(
                 mask, max_iters=self.ccl_iters, multigrid=self.ccl_multigrid
             )
-            stats = extract_regions(labels, prob, max_regions=K)
+            stats = extract_regions(
+                labels, prob, max_regions=K, impl=self.extract_impl
+            )
             d = unclip_distance_for(stats, ratio=self.unclip_ratio)
             quads = regions_to_quads(stats, d)  # (B, K, 4, 2), px
             valid = stats["valid"] & (stats["score"] >= self.box_thresh) & (

@@ -76,7 +76,9 @@ class DetectorPredictor:
     def predict(self, variables, pages, scales=None) -> List[Dict]:
         if self._forward is None:
             self._forward = jax.jit(
-                lambda v, x: self.model.net.apply(v, normalize(x), train=False)["prob"]
+                lambda v, x: self.model.net.apply(
+                    v, normalize(x), train=False, heads=("prob",)
+                )["prob"]
             )
         prob = self._forward(variables, jnp.asarray(pages, jnp.float32))
         return self.representer.represent(prob, scales=scales)

@@ -123,13 +123,14 @@ def train_models(det_steps=640, rec_epochs=25):
 
 
 def eval_condition(det, det_vars, rec, rec_vars, cs, pages_ds, rectify,
-                   n_pages, batch=8):
+                   n_pages, batch=8, extract_impl="auto"):
     import jax.numpy as jnp
 
     from megreader_tpu.pipelines import E2EPipeline
 
     pipe = E2EPipeline(
         det, rec, charset=cs, max_regions=16, rectify=rectify, bf16=True,
+        extract_impl=extract_impl,
     )
     hit = tot = 0
     t_infer = 0.0
@@ -158,6 +159,9 @@ def main():
     ap.add_argument("--retrain", action="store_true")
     ap.add_argument("--det-steps", type=int, default=640)
     ap.add_argument("--rec-epochs", type=int, default=25)
+    ap.add_argument("--extract-impl", default="auto",
+                    help="region-stats path: auto|xla|pallas|pallas_full")
+    ap.add_argument("--conditions", default="box,deskew,perspective")
     args = ap.parse_args()
 
     if args.retrain:
@@ -177,12 +181,13 @@ def main():
             n=args.pages, seed=901, gt_maps=False, max_rotate=25, max_persp=0.08
         ),
     }
-    conditions = ["box", "deskew", "perspective"]
+    conditions = args.conditions.split(",")
     report = {}
     for set_name, ds in eval_sets.items():
         for rectify in conditions:
             hit, tot, t = eval_condition(
-                det, det_vars, rec, rec_vars, cs, ds, rectify, args.pages
+                det, det_vars, rec, rec_vars, cs, ds, rectify, args.pages,
+                extract_impl=args.extract_impl,
             )
             key = f"{set_name}/{rectify}"
             report[key] = {

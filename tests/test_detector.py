@@ -170,3 +170,24 @@ def test_deteval_protocol():
     raw2 = m.measure_one(preds2, gt, ignored)
     assert raw2["recall_acc"] == pytest.approx(1.6)
     assert raw2["precision_acc"] == pytest.approx(0.8)
+
+
+def test_prob_only_heads_match_full_apply():
+    # serving path: heads=('prob',) must reproduce the full apply's prob map
+    # exactly while leaving the thresh-head params untouched
+    model = SegDetector(fpn_dim=64, head_dim=16)
+    rng = jax.random.PRNGKey(1)
+    images = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+    variables = model.init(rng, images)
+    full = model.apply(variables, images)
+    prob_only = model.apply(variables, images, heads=("prob",))
+    assert set(prob_only.keys()) == {"prob"}
+    np.testing.assert_array_equal(
+        np.asarray(prob_only["prob"]), np.asarray(full["prob"])
+    )
+    thresh_only = model.apply(variables, images, heads=("thresh",))
+    np.testing.assert_array_equal(
+        np.asarray(thresh_only["thresh"]), np.asarray(full["thresh"])
+    )
