@@ -160,7 +160,9 @@ class CTCRecognizer:
         """``blank_collapse < 1`` opts the beam into blank-collapse frame
         skipping (~3.2x faster at 0.999, approximate on borderline frames —
         see ops/ctc.py)."""
-        logits = self.net.apply(variables, images, train=False)
+        # decode math in f32 regardless of serving dtype (bf16 trees):
+        # greedy argmax is dtype-stable, beam log-prob sums are not
+        logits = self.net.apply(variables, images, train=False).astype(jnp.float32)
         B, T, _ = logits.shape
         lengths = jnp.full((B,), T, dtype=jnp.int32)
         if mode == "greedy":

@@ -150,6 +150,8 @@ class Ctc2dRecognizer:
         blank_collapse: float = 1.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         heads = self.net.apply(variables, images, train=False)
+        # decode DP/beam math in f32 regardless of serving dtype
+        heads = tuple(h.astype(jnp.float32) for h in heads)
         B = images.shape[0]
         if self.transition == "independent":
             emit, height = heads

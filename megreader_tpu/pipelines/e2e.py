@@ -60,10 +60,26 @@ class E2EPipeline:
         ccl_multigrid: bool = False,
         bf16: bool = False,
         extract_impl: str = "auto",
+        rec_mode: str = "greedy",
+        beam_width: int = 8,
     ):
         self.detector = detector
         self.recognizer = recognizer
-        self.charset = charset or Charset()
+        if charset is None:
+            # attention models emit GO/EOS/PAD-offset ids (AttentionCharset)
+            from ..core.charset import AttentionCharset
+
+            charset = (
+                AttentionCharset()
+                if hasattr(recognizer, "decode_greedy")
+                else Charset()
+            )
+        self.charset = charset
+        #: recognition decode: 'greedy' | 'beam' — dispatched per family
+        #: (CTC / 2D-CTC ``decode(mode=...)``, attention
+        #: ``decode_greedy``/``decode_beam``), all device-traceable
+        self.rec_mode = rec_mode
+        self.beam_width = beam_width
         self.max_regions = max_regions
         self.bin_thresh = bin_thresh
         self.box_thresh = box_thresh
@@ -102,6 +118,27 @@ class E2EPipeline:
         #: (ops/pallas_extract.py), XLA elsewhere; 'xla'/'pallas' force
         self.extract_impl = extract_impl
         self._jitted = None
+
+    def _decode_crops(self, rec_vars, crops):
+        """(N, Ho, Wo, 3) normalized crops -> (ids (N, T), lengths (N,)).
+
+        Family dispatch mirrors ``RecognizerPredictor`` but stays inside the
+        jitted page program — the reference composed its pipeline with any
+        recognizer config the same way (SURVEY.md §3.3)."""
+        rec = self.recognizer
+        if hasattr(rec, "decode_greedy"):  # attention family
+            if self.rec_mode == "beam":
+                return rec.decode_beam(rec_vars, crops, beam_width=self.beam_width)
+            return rec.decode_greedy(rec_vars, crops)
+        if hasattr(rec, "decode"):  # CTC / 2D-CTC
+            return rec.decode(
+                rec_vars, crops, mode=self.rec_mode, beam_width=self.beam_width
+            )
+        logits = rec.net.apply(rec_vars, crops, train=False)
+        N, T = logits.shape[0], logits.shape[1]
+        return ctc_greedy_decode(
+            logits.astype(jnp.float32), jnp.full((N,), T, jnp.int32)
+        )
 
     def build(self, det_vars=None, rec_vars=None, mesh=None):
         """Return the jitted device program
@@ -171,11 +208,8 @@ class E2EPipeline:
             crops = normalize(crops)
             if self.bf16:
                 crops = crops.astype(jnp.bfloat16)
-            logits = self.recognizer.net.apply(rec_vars, crops, train=False)
-            T = logits.shape[1]
-            ids, lens = ctc_greedy_decode(
-                logits.astype(jnp.float32), jnp.full((B * K,), T, jnp.int32)
-            )
+            ids, lens = self._decode_crops(rec_vars, crops)
+            T = ids.shape[1]
             return {
                 "ids": ids.reshape(B, K, T),
                 "lengths": lens.reshape(B, K),

@@ -106,3 +106,56 @@ def test_e2e_sharded_serving_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded["quads"]), np.asarray(ref["quads"]), atol=1e-3
     )
+
+
+def test_e2e_pipeline_attention_recognizer():
+    # the page program composes with the attention family: decode_greedy
+    # runs inside the jitted pipeline and ids map through AttentionCharset
+    from megreader_tpu.core.charset import AttentionCharset
+    from megreader_tpu.models.attention import AttentionRecognizer
+
+    det = SegDetector(fpn_dim=64, head_dim=16)
+    rec = AttentionRecognizer(dim=32, width=16, max_len=8)
+    rng = jax.random.PRNGKey(0)
+    pages = jnp.asarray(
+        np.random.default_rng(2).random((1, 64, 64, 3)) * 255, jnp.float32
+    )
+    det_vars = det.init(rng, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
+    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0)
+    assert isinstance(pipe.charset, AttentionCharset)
+    results = pipe.predict(det_vars, rec_vars, pages)
+    assert len(results) == 1
+    for item in results[0]:
+        assert isinstance(item["text"], str)
+
+
+def test_e2e_pipeline_ctc2d_recognizer():
+    from megreader_tpu.models.recognizer2d import Ctc2dRecognizer
+
+    det = SegDetector(fpn_dim=64, head_dim=16)
+    rec = Ctc2dRecognizer(num_classes=37, width=16)
+    rng = jax.random.PRNGKey(0)
+    pages = jnp.asarray(
+        np.random.default_rng(3).random((1, 64, 64, 3)) * 255, jnp.float32
+    )
+    det_vars = det.init(rng, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
+    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0)
+    results = pipe.predict(det_vars, rec_vars, pages)
+    assert len(results) == 1
+
+
+def test_e2e_pipeline_beam_mode_matches_types():
+    det = SegDetector(fpn_dim=64, head_dim=16)
+    rec = CTCRecognizer(num_classes=37, hidden=32, num_encoder_layers=1)
+    rng = jax.random.PRNGKey(0)
+    pages = jnp.asarray(
+        np.random.default_rng(5).random((1, 64, 64, 3)) * 255, jnp.float32
+    )
+    det_vars = det.init(rng, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
+    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0, rec_mode="beam",
+                       beam_width=4)
+    results = pipe.predict(det_vars, rec_vars, pages)
+    assert len(results) == 1

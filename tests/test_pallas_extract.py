@@ -31,11 +31,13 @@ def _random_blob_mask(rng, hw=(96, 128), n_blobs=6):
     return m
 
 
-def _compare(mask_np, scores_np, K):
+def _compare(mask_np, scores_np, K, candidates="xla"):
     labels = connected_components(jnp.asarray(mask_np), impl="xla")
     scores = jnp.asarray(scores_np)
     ref = extract_regions(labels, scores, max_regions=K)
-    got = extract_regions_pallas(labels, scores, max_regions=K, interpret=True)
+    got = extract_regions_pallas(
+        labels, scores, max_regions=K, interpret=True, candidates=candidates
+    )
 
     np.testing.assert_array_equal(np.asarray(got["valid"]), np.asarray(ref["valid"]))
     np.testing.assert_array_equal(np.asarray(got["area"]), np.asarray(ref["area"]))
@@ -82,6 +84,18 @@ def test_extract_more_components_than_k():
     mask = _random_blob_mask(rng, n_blobs=12)
     scores = np.full(mask.shape, 0.5, np.float32) * mask
     _compare(mask[None], scores[None], K=4)
+
+
+def test_extract_pallas_candidates_kernel():
+    # the standalone candidates kernel (impl='pallas_full') must agree with
+    # the XLA candidate phase exactly: same raster-rank compaction, same
+    # fused root-assignment/area pass semantics
+    rng = np.random.default_rng(11)
+    masks = np.stack(
+        [_random_blob_mask(rng, n_blobs=9) for _ in range(2)]
+    )
+    scores = rng.random(masks.shape).astype(np.float32) * masks
+    _compare(masks, scores, K=6, candidates="pallas")
 
 
 def test_extract_empty_mask():
