@@ -246,6 +246,9 @@ class SegDetectorNet(nn.Module):
     #: conv compute dtype (bf16 = mixed-precision training; maps/loss fp32)
     dtype: Any = None
     fused_upsample: bool = True
+    #: exact space-to-depth stem rewrite (see models/resnet.py) — same
+    #: params/checkpoints, better MXU packing of the 3-channel input
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(
@@ -259,7 +262,7 @@ class SegDetectorNet(nn.Module):
         simply not touched (flax ignores unvisited variables at apply)."""
         feats = resnet_variant(
             self.num_backbone, "det", width=self.width, dtype=self.dtype,
-            dcn_stages=tuple(self.dcn_stages),
+            dcn_stages=tuple(self.dcn_stages), stem_s2d=self.stem_s2d,
         )(images, train=train)
         fused = FPNNeck(self.fpn_dim, self.fpn_dim, dtype=self.dtype, name="fpn")(feats)
         out: Dict[str, jnp.ndarray] = {}
@@ -295,12 +298,14 @@ class SegDetector:
         compute_dtype: str = "float32",  # 'float32' | 'bfloat16'
         fused_upsample: bool = True,
         dcn_stages=(),  # e.g. (3, 4): deformable 3x3 convs in those stages
+        stem_s2d: bool = False,
     ):
         self.net = SegDetectorNet(
             backbone, fpn_dim, head_dim, k, width,
             dcn_stages=tuple(dcn_stages),
             dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
             fused_upsample=fused_upsample,
+            stem_s2d=stem_s2d,
         )
         self.bce_scale = bce_scale
         self.l1_scale = l1_scale

@@ -22,7 +22,22 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class _StemKernel(nn.Module):
+    """Bare kernel param in an ``nn.Conv``-compatible scope ("<name>/kernel",
+    lecun_normal init) so the space-to-depth stem shares checkpoints with
+    the direct 7×7 conv."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
 
 
 def _bn(y, train, name, out_dtype):
@@ -159,20 +174,55 @@ class ResNet(nn.Module):
     #: conv compute dtype — jnp.bfloat16 enables mixed-precision training
     #: (params fp32, MXU convs bf16, BatchNorm fp32). None = fp32.
     dtype: Any = None
+    #: det-variant stem as an EXACT space-to-depth rewrite: the 7×7 s2 conv
+    #: on a 3-channel image packs C=3 into the 128-lane minor dim (125/128
+    #: lanes idle on every load); rearranging 2×2 pixel phases into channels
+    #: (H,W,3)→(H/2,W/2,12) turns it into a 4×4 s1 conv on 12 channels with
+    #: the SAME 7×7 parameter (transformed in-graph, zero-padded taps), so
+    #: checkpoints/converters/tests are unchanged. Equality-tested vs the
+    #: direct conv (tests/test_detector.py::test_s2d_stem_exact).
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype if self.dtype is not None else x.dtype
         if self.variant == "det":
-            y = nn.Conv(
-                self.width,
-                (7, 7),
-                strides=(2, 2),
-                padding=((3, 3), (3, 3)),
-                use_bias=False,
-                dtype=self.dtype,
-                name="stem_conv",
-            )(x)
+            if self.stem_s2d:
+                B, H, W, C = x.shape
+                # same scope/param ("stem_conv/kernel", same lecun_normal
+                # init) as the nn.Conv branch — checkpoints interchange
+                w7 = _StemKernel((7, 7, C, self.width), name="stem_conv")()
+                # phases-to-channels: X[r,c,(pr,pc,ch)] = x[2r+pr, 2c+pc, ch]
+                xs = x.reshape(B, H // 2, 2, W // 2, 2, C)
+                xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    B, H // 2, W // 2, 4 * C
+                )
+                # output row i consumes input rows 2i-3..2i+3 = s2d rows
+                # i-2..i+1 → 4 taps, pad (2,1); tap (ro,pr) reads w7 row
+                # 2ro+pr-1 (row -1 is the zero-pad)
+                w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+                w4 = w8.reshape(4, 2, 4, 2, C, self.width)
+                w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(
+                    4, 4, 4 * C, self.width
+                )
+                if self.dtype is not None:
+                    xs = xs.astype(self.dtype)
+                    w4 = w4.astype(self.dtype)
+                y = jax.lax.conv_general_dilated(
+                    xs, w4, window_strides=(1, 1),
+                    padding=((2, 1), (2, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            else:
+                y = nn.Conv(
+                    self.width,
+                    (7, 7),
+                    strides=(2, 2),
+                    padding=((3, 3), (3, 3)),
+                    use_bias=False,
+                    dtype=self.dtype,
+                    name="stem_conv",
+                )(x)
             y = _bn(y, train, "stem_bn", dt)
             y = nn.relu(y)
             y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

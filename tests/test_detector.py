@@ -191,3 +191,39 @@ def test_prob_only_heads_match_full_apply():
     np.testing.assert_array_equal(
         np.asarray(thresh_only["thresh"]), np.asarray(full["thresh"])
     )
+
+
+def test_s2d_stem_exact():
+    # the space-to-depth stem must be bit-compatible with the direct 7x7 s2
+    # conv: same param tree (stem_conv/kernel), numerically equal maps
+    from megreader_tpu.models.resnet import resnet18
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 96, 3)), jnp.float32
+    )
+    direct = resnet18(variant="det")
+    s2d = resnet18(variant="det", stem_s2d=True)
+    v = direct.init(rng, x, train=False)
+    v2 = s2d.init(jax.random.PRNGKey(1), x, train=False)
+    # identical param trees -> checkpoints interchange both ways
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    a = direct.apply(v, x, train=False)
+    b = s2d.apply(v, x, train=False)
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_s2d_stem_exact_via_segdetector():
+    model = SegDetector(fpn_dim=64, head_dim=16)
+    model2 = SegDetector(fpn_dim=64, head_dim=16, stem_s2d=True)
+    rng = jax.random.PRNGKey(2)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 64, 64, 3)), jnp.float32
+    )
+    v = model.init(rng, x)
+    a = model.apply(v, x, heads=("prob",))["prob"]
+    b = model2.apply(v, x, heads=("prob",))["prob"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
