@@ -55,6 +55,22 @@ def main():
         help="crop geometry: axis-aligned box, three-shear deskew, or exact "
              "perspective rectification of the rotated quad (MXU path)",
     )
+    ap.add_argument(
+        "--rec-mode", default="greedy", choices=["greedy", "beam"],
+        help="recognition decode inside the page program (any family)",
+    )
+    ap.add_argument("--beam-width", type=int, default=8)
+    ap.add_argument(
+        "--extract-impl", default="auto",
+        choices=["auto", "xla", "pallas", "pallas_full"],
+        help="region-stats path (auto = Pallas moment/extent kernels on TPU)",
+    )
+    ap.add_argument(
+        "--bucketed", action="store_true",
+        help="variable-size serving: aspect-preserving scale into the "
+             "standard canvas buckets (one compiled program per bucket) "
+             "instead of a square --page-size resize",
+    )
     args = ap.parse_args()
 
     import cv2
@@ -73,6 +89,9 @@ def main():
         box_thresh=args.box_thresh,
         deskew=args.deskew,
         rectify=args.rectify,
+        rec_mode=args.rec_mode,
+        beam_width=args.beam_width,
+        extract_impl=args.extract_impl,
     )
 
     S = args.page_size
@@ -80,11 +99,20 @@ def main():
     for path in args.images:
         img = cv2.cvtColor(cv2.imread(path, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
         h, w = img.shape[:2]
-        pages.append(cv2.resize(img, (S, S)).astype(np.float32))
-        scales.append((w / S, h / S))
+        if args.bucketed:
+            pages.append(img.astype(np.float32))
+            scales.append((1.0, 1.0))  # BucketedE2E rescales internally
+        else:
+            pages.append(cv2.resize(img, (S, S)).astype(np.float32))
+            scales.append((w / S, h / S))
         originals.append(img)
 
-    results = pipe.predict(det_vars, rec_vars, jnp.asarray(np.stack(pages)))
+    if args.bucketed:
+        from megreader_tpu.pipelines import BucketedE2E
+
+        results = BucketedE2E(pipe).predict(det_vars, rec_vars, pages)
+    else:
+        results = pipe.predict(det_vars, rec_vars, jnp.asarray(np.stack(pages)))
 
     for path, page, (sx, sy), orig in zip(args.images, results, scales, originals):
         dets = [

@@ -159,3 +159,38 @@ def test_e2e_pipeline_beam_mode_matches_types():
                        beam_width=4)
     results = pipe.predict(det_vars, rec_vars, pages)
     assert len(results) == 1
+
+
+def test_bucketed_e2e_mixed_sizes():
+    # mixed-size pages route to per-bucket programs; polygons come back in
+    # ORIGINAL pixel coordinates through the per-page scale
+    from megreader_tpu.pipelines import BucketedE2E
+
+    det = SegDetector(fpn_dim=64, head_dim=16)
+    rec = CTCRecognizer(num_classes=37, hidden=32, num_encoder_layers=1)
+    rng = jax.random.PRNGKey(0)
+    det_vars = det.init(rng, jnp.zeros((1, 64, 64, 3)))
+    rec_vars = rec.init(rng, jnp.zeros((1, 32, 100, 3)))
+    pipe = E2EPipeline(det, rec, max_regions=4, box_thresh=0.0)
+    buckets = ((64, 64), (64, 128))
+    bp = BucketedE2E(pipe, buckets=buckets, batch=2)
+
+    rngn = np.random.default_rng(7)
+    images = [
+        rngn.random((64, 64, 3)).astype(np.float32) * 255,   # exact bucket 0
+        rngn.random((32, 100, 3)).astype(np.float32) * 255,  # scales to (64,128)? no: fits (64,128) at s=1
+        rngn.random((128, 128, 3)).astype(np.float32) * 255, # downscales into (64,64)
+        rngn.random((64, 120, 3)).astype(np.float32) * 255,  # bucket 1
+    ]
+    results = bp.predict(det_vars, rec_vars, images)
+    assert len(results) == 4
+    for img, page in zip(images, results):
+        assert page is not None
+        h, w = img.shape[:2]
+        for det_item in page:
+            poly = det_item["polygon"]
+            # in ORIGINAL coordinates: the region center must lie on the
+            # page (corners may overshoot via unclip expansion)
+            assert 0 <= poly[:, 0].mean() <= w and 0 <= poly[:, 1].mean() <= h
+            assert np.isfinite(poly).all()
+            assert isinstance(det_item["text"], str)
