@@ -228,9 +228,16 @@ def _region_stats_single(
 
     One ``segment_sum`` finds per-label areas (the only scatter); the top-K
     labels become boolean masks by broadcast COMPARISON (no per-pixel
-    gather), all first/second moments collapse into a single (K, N) x (N, F)
+    gather), score/first moments collapse into a single (K, N) x (N, F)
     MXU matmul, and rotated extents are dense masked reductions. The naive
     gather+segment_max formulation costs ~45 ms/page on v5e; this one ~3 ms.
+
+    Second moments are CENTERED (computed from the (K, N) dx/dy planes the
+    extents phase builds anyway): the raw-moment ``E[x²]−E[x]²`` route at
+    640² coordinates reaches Σx² ≈ 1e9 where f32 has ~64 ulp, and the
+    cancellation cost up to 1.47 rad of principal angle on near-isotropic
+    regions (measured vs a float64 oracle — `ops/pallas_extract.py` has
+    the same fix in its VMEM kernels).
     """
     H, W = labels.shape
     N = H * W
@@ -247,25 +254,27 @@ def _region_stats_single(
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(-1).astype(jnp.float32)
     sc = scores.reshape(-1)
 
-    feats = jnp.stack(
-        [sc, xs, ys, xs * xs, ys * ys, xs * ys], axis=1
-    )  # (N, 6)
-    M = jnp.dot(mask_f, feats, preferred_element_type=jnp.float32)  # (K, 6) MXU
+    feats = jnp.stack([sc, xs, ys], axis=1)  # (N, 3)
+    M = jnp.dot(mask_f, feats, preferred_element_type=jnp.float32)  # (K, 3) MXU
 
     a = jnp.maximum(top_area, 1.0)
     score = M[:, 0] / a
     cx = M[:, 1] / a
     cy = M[:, 2] / a
-    vxx = M[:, 3] / a - cx * cx
-    vyy = M[:, 4] / a - cy * cy
-    vxy = M[:, 5] / a - cx * cy
+
+    # centered planes (shared with the extents phase below)
+    dx = xs[None, :] - cx[:, None]
+    dy = ys[None, :] - cy[:, None]
+    dxm = mask_f * dx
+    dym = mask_f * dy
+    vxx = jnp.sum(dxm * dxm, axis=1) / a
+    vyy = jnp.sum(dym * dym, axis=1) / a
+    vxy = jnp.sum(dxm * dym, axis=1) / a
     theta = 0.5 * jnp.arctan2(2.0 * vxy, vxx - vyy)
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
 
     # Rotated extents: project every pixel on each region's principal axes
     # (dense (K, N) math), masked min/max reductions.
-    dx = xs[None, :] - cx[:, None]
-    dy = ys[None, :] - cy[:, None]
     u = dx * cos_t[:, None] + dy * sin_t[:, None]
     v = -dx * sin_t[:, None] + dy * cos_t[:, None]
     big = jnp.float32(1e9)

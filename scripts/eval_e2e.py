@@ -26,6 +26,14 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+if "--cpu" in sys.argv:
+    # before any device touch: the sitecustomize axon backend ignores env
+    # vars (see .claude/skills/verify) — config API only
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 import numpy as np
 
 WORKDIR = os.path.join(__file__.rsplit("/", 2)[0], "runs", "eval_e2e")
@@ -162,6 +170,8 @@ def main():
     ap.add_argument("--extract-impl", default="auto",
                     help="region-stats path: auto|xla|pallas|pallas_full")
     ap.add_argument("--conditions", default="box,deskew,perspective")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled pre-import)")
     args = ap.parse_args()
 
     if args.retrain:
