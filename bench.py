@@ -260,6 +260,8 @@ def bench_pages():
         "p50_batch_latency_ms": box_ms,
         "page_batch_size": B,
         "detector_trained_steps": det_step,
+        # attribution: which region-extract path 'auto' resolved to
+        "extract_impl": "pallas" if jax.default_backend() == "tpu" else "xla",
     }
 
 
@@ -296,6 +298,7 @@ def main():
         "pages_bench_on_text_pages": True,
         "pages_bench_trained_detector": True,
         "detector_trained_steps": pages["detector_trained_steps"],
+        "extract_impl": pages["extract_impl"],
     }
     print(json.dumps(out))
 

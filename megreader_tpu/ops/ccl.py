@@ -323,6 +323,9 @@ def extract_regions(
             scores,
             max_regions=max_regions,
             candidates="pallas" if impl == "pallas_full" else "xla",
+            # off-TPU there is no Mosaic lowering — run the kernels in the
+            # Pallas interpreter (slow; debugging/tests only)
+            interpret=jax.default_backend() != "tpu",
         )
     return jax.lax.map(
         lambda args: _region_stats_single(args[0], args[1], max_regions),
