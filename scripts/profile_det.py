@@ -31,18 +31,22 @@ def main():
     ap.add_argument("--hw", type=int, default=640)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--backbone", default="resnet18")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem (same checkpoints)")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/runs/jax_cache")
 
     B, H, W = args.batch, args.hw, args.hw
-    det = SegDetector(num_backbone=args.backbone)
+    det = SegDetector(backbone=args.backbone, stem_s2d=args.s2d)
     rng = jax.random.PRNGKey(0)
     det_vars = det.init(rng, jnp.zeros((1, H, W, 3)))
     det_vars = cast_floats(det_vars, jnp.bfloat16)
 
-    trunk = resnet_variant(args.backbone, "det", dtype=jnp.bfloat16)
-    fpn = FPNNeck(det.fpn_dim, det.fpn_dim, dtype=jnp.bfloat16)
-    head = MapHead(det.head_dim, dtype=jnp.bfloat16, fused_upsample=True)
+    trunk = resnet_variant(
+        args.backbone, "det", dtype=jnp.bfloat16, stem_s2d=args.s2d
+    )
+    fpn = FPNNeck(det.net.fpn_dim, det.net.fpn_dim, dtype=jnp.bfloat16)
+    head = MapHead(det.net.head_dim, dtype=jnp.bfloat16, fused_upsample=True)
 
     tv = {
         "params": det_vars["params"]["ResNet_0"],
