@@ -261,7 +261,7 @@ def bench_pages():
         "page_batch_size": B,
         "detector_trained_steps": det_step,
         # attribution: which region-extract path 'auto' resolved to
-        "extract_impl": "pallas" if jax.default_backend() == "tpu" else "xla",
+        "extract_impl": "xla",
     }
 
 

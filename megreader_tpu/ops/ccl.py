@@ -303,18 +303,20 @@ def extract_regions(
 ) -> Dict[str, jnp.ndarray]:
     """(B,H,W) labels + prob map -> per-region stats, K fixed slots per image.
 
-    ``impl``: 'auto' (default) dispatches on TPU to the hybrid path —
-    XLA candidate/top-K phase + VMEM-resident Pallas moments/extents
-    kernels (`ops/pallas_extract.py`): identical integer semantics, and
-    theta/extents get centered-moment accuracy (the XLA raw-moment
-    E[x²]−E[x]² loses up to ~1.5 rad of theta at 640² coordinates in
-    f32). 'xla' / 'pallas' / 'pallas_full' (standalone candidates kernel
-    too) force a path. On the XLA path, lax.map (not vmap) over the
-    batch keeps the (K, N) intermediates at one-image footprint (~50 MB
-    at 640^2, K=32).
+    ``impl``: both paths compute CENTERED second moments (exact angles —
+    the raw-moment E[x²]−E[x]² formulation lost up to ~1.5 rad of theta
+    at 640² coordinates in f32). 'auto' (default) = 'xla': inside a
+    fused pipeline XLA overlaps the dense phases with neighboring ops,
+    measured fastest end-to-end (336 vs 330 pages/s for the hybrid —
+    RESULTS.md round 3). 'pallas' = XLA candidate phase + VMEM Pallas
+    moment/extent kernels; 'pallas_full' adds the standalone candidates
+    kernel — 2.1× faster than XLA when extract runs in ISOLATION
+    (`ops/pallas_extract.py`). On the XLA path, lax.map (not vmap) over
+    the batch keeps the (K, N) intermediates at one-image footprint
+    (~50 MB at 640^2, K=32).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
     if impl in ("pallas", "pallas_full"):
         from .pallas_extract import extract_regions_pallas
 
