@@ -117,6 +117,20 @@ class Trainer:
             prepare_wants_step=self._prepare_wants_step,
         )
         step = int(state.step)
+        # ``epochs`` is a TOTAL budget: resume extends the workspace toward
+        # epochs * steps_per_epoch, it does not re-run ``epochs`` on top of
+        # the restored step (re-invoking a cached harness used to silently
+        # retrain; the reference restores its epoch counter the same way).
+        try:
+            target_steps = self.epochs * len(self.loader)
+        except TypeError:
+            target_steps = None
+        if target_steps is not None and step >= target_steps:
+            self.logger.info(
+                f"already at step {step} >= target {target_steps}: no training"
+            )
+            self.checkpoint.wait()
+            return state
         t_log = time.time()
         n_since = 0
         stop = False
@@ -126,6 +140,8 @@ class Trainer:
             state, metrics = step_fn(state, db)
             step += 1
             n_since += db["image"].shape[0]
+            if target_steps is not None and step >= target_steps:
+                stop = True
 
             if step % self.log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -148,7 +164,7 @@ class Trainer:
             self.checkpoint.save(state, step)
 
         for epoch in range(self.epochs):
-            if stop:
+            if stop or (target_steps is not None and step >= target_steps):
                 break
             # Pipeline: enqueue the NEXT batch's host->device transfer before
             # dispatching the step on the current one — the async dispatch

@@ -110,5 +110,11 @@ def test_resume_continues_training(tmp_path):
         {**overrides, "experiment.epochs": 2},
     )
     t2 = exp2.make_trainer()
-    s2 = t2.train(resume=True)  # restores step 2, continues
-    assert int(s2.step) == 2 + 4
+    # restores step 2, continues toward the TOTAL budget (epochs=2 -> 4
+    # steps): resume extends the workspace, it does not re-run epochs on top
+    s2 = t2.train(resume=True)
+    assert int(s2.step) == 4
+
+    # re-invoking with the same budget is a no-op (cached-harness semantics)
+    s3 = exp2.make_trainer().train(resume=True)
+    assert int(s3.step) == 4
