@@ -373,3 +373,35 @@ def unclip_distance_for(stats: Dict[str, jnp.ndarray], ratio: float = 1.5) -> jn
     area = w * h
     perim = 2.0 * (w + h)
     return jnp.where(stats["valid"], area * ratio / jnp.maximum(perim, 1e-6), 0.0)
+
+
+def unclip_distance_inverse(
+    stats: Dict[str, jnp.ndarray], shrink_ratio: float = 0.4
+) -> jnp.ndarray:
+    """Exact inverse of the training-time Vatti shrink, for rectangles (B, K).
+
+    Training rasterizes the prob target from polygons shrunk inward by
+    D = A(1-r^2)/P of the ORIGINAL polygon (ops/gt_maps.py; the reference's
+    pyclipper MakeSegDetectionData — SURVEY.md §2.2). The reference undoes
+    it at inference with the heuristic d = A'·ratio/P' of the SHRUNK region
+    (ratio 1.5), which badly under-expands elongated words: for w' >> h'
+    the heuristic gives d = 0.75 h' where the true inverse is d = 2.625 h'
+    (at r = 0.4 the shrunk kernel is only 16% of text height, so the
+    heuristic's box is ~40% of text height).
+
+    For a w x h rectangle the shrink relation w = w' + 2D, h = h' + 2D,
+    D = wh(1-r^2)/(2(w+h)) closes to a quadratic in D:
+
+        4(1+r^2) D^2 + 2 r^2 (w'+h') D - (1-r^2) w'h' = 0
+
+    whose positive root recovers D exactly. Used by
+    ``E2EPipeline(unclip='inverse')``.
+    """
+    w = stats["extent_u"][..., 1] - stats["extent_u"][..., 0] + 1.0
+    h = stats["extent_v"][..., 1] - stats["extent_v"][..., 0] + 1.0
+    r2 = float(shrink_ratio) ** 2
+    a = 4.0 * (1.0 + r2)
+    b = 2.0 * r2 * (w + h)
+    c = (1.0 - r2) * w * h
+    d = (-b + jnp.sqrt(b * b + 4.0 * a * c)) / (2.0 * a)
+    return jnp.where(stats["valid"], d, 0.0)

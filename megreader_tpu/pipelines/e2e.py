@@ -27,7 +27,13 @@ import numpy as np
 
 from ..core.charset import Charset
 from ..core.registry import register
-from ..ops.ccl import connected_components, extract_regions, regions_to_quads, unclip_distance_for
+from ..ops.ccl import (
+    connected_components,
+    extract_regions,
+    regions_to_quads,
+    unclip_distance_for,
+    unclip_distance_inverse,
+)
 from ..ops.ctc import ctc_greedy_decode
 from ..ops.image import crop_resize_boxes, normalize
 from ..ops.precision import cast_floats
@@ -46,6 +52,12 @@ class E2EPipeline:
         bin_thresh: float = 0.3,
         box_thresh: float = 0.6,
         unclip_ratio: float = 1.5,
+        #: 'ratio' = the reference's heuristic d = A'·ratio/P' of the shrunk
+        #: region; 'inverse' = exact closed-form inverse of the training
+        #: shrink (ops/ccl.unclip_distance_inverse) — recovers full text
+        #: height on elongated words where the heuristic under-expands.
+        unclip: str = "ratio",
+        shrink_ratio: float = 0.4,
         crop_hw=(32, 100),
         box_margin: float = 4.0,
         deskew: bool = False,
@@ -84,6 +96,8 @@ class E2EPipeline:
         self.bin_thresh = bin_thresh
         self.box_thresh = box_thresh
         self.unclip_ratio = unclip_ratio
+        self.unclip = unclip
+        self.shrink_ratio = shrink_ratio
         self.crop_hw = tuple(crop_hw)
         self.box_margin = box_margin
         # NOTE: the round-1/2 ``postproc_stride=2`` mode (CCL on a pooled
@@ -174,7 +188,10 @@ class E2EPipeline:
             stats = extract_regions(
                 labels, prob, max_regions=K, impl=self.extract_impl
             )
-            d = unclip_distance_for(stats, ratio=self.unclip_ratio)
+            if self.unclip == "inverse":
+                d = unclip_distance_inverse(stats, shrink_ratio=self.shrink_ratio)
+            else:
+                d = unclip_distance_for(stats, ratio=self.unclip_ratio)
             quads = regions_to_quads(stats, d)  # (B, K, 4, 2), px
             valid = stats["valid"] & (stats["score"] >= self.box_thresh) & (
                 stats["area"] >= 8.0

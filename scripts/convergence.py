@@ -54,15 +54,15 @@ def _quad_iou(quad, poly):
 
 
 def eval_attributed(det, det_vars, rec, rec_vars, cs, pages_ds, rectify,
-                    n_pages, batch=8, iou_thresh=0.5):
+                    n_pages, batch=8, iou_thresh=0.5, **pipe_kwargs):
     """Returns dict with det/e2e recall and rec-given-det accuracy."""
     import jax.numpy as jnp
 
     from megreader_tpu.pipelines import E2EPipeline
 
-    pipe = E2EPipeline(
-        det, rec, charset=cs, max_regions=16, rectify=rectify, bf16=True,
-    )
+    kw = dict(charset=cs, max_regions=16, rectify=rectify, bf16=True)
+    kw.update(pipe_kwargs)
+    pipe = E2EPipeline(det, rec, **kw)
     det_hit = rec_hit = e2e_hit = tot = 0
     for s in range(0, n_pages, batch):
         samples = [pages_ds[i] for i in range(s, min(s + batch, n_pages))]

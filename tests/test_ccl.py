@@ -113,6 +113,43 @@ def test_unclip_grows_box():
     assert float(d[0, 0]) > 0
 
 
+def test_unclip_inverse_recovers_shrink():
+    """Shrink a rect by the training formula D = A(1-r^2)/P of the ORIGINAL,
+    then check unclip_distance_inverse recovers D exactly from the shrunk
+    dims (rect closed form), across aspect ratios and shrink ratios."""
+    from megreader_tpu.ops.ccl import unclip_distance_inverse
+
+    for r in (0.3, 0.4, 0.6):
+        for (w, h) in ((100.0, 20.0), (40.0, 40.0), (250.0, 14.0)):
+            D = w * h * (1.0 - r * r) / (2.0 * (w + h))
+            wp, hp = w - 2 * D, h - 2 * D
+            assert wp > 0 and hp > 0, (w, h, r)
+            # build stats whose extent+1 == shrunk dims (extent convention
+            # of unclip_distance_for: pixel-center extents)
+            stats = {
+                "extent_u": jnp.asarray([[[0.0, wp - 1.0]]]),
+                "extent_v": jnp.asarray([[[0.0, hp - 1.0]]]),
+                "valid": jnp.asarray([[True]]),
+            }
+            d = float(unclip_distance_inverse(stats, shrink_ratio=r)[0, 0])
+            assert abs(d - D) < 1e-3 * max(D, 1.0), (r, w, h, d, D)
+
+
+def test_unclip_inverse_beats_heuristic_on_elongated():
+    """For an elongated shrunk kernel the heuristic d = A'*1.5/P' must
+    under-expand vs the exact inverse (the measured failure mode)."""
+    from megreader_tpu.ops.ccl import unclip_distance_inverse
+
+    stats = {
+        "extent_u": jnp.asarray([[[0.0, 199.0]]]),  # w' = 200
+        "extent_v": jnp.asarray([[[0.0, 7.0]]]),    # h' = 8
+        "valid": jnp.asarray([[True]]),
+    }
+    d_heur = float(unclip_distance_for(stats, ratio=1.5)[0, 0])
+    d_inv = float(unclip_distance_inverse(stats, shrink_ratio=0.4)[0, 0])
+    assert d_inv > 1.5 * d_heur, (d_heur, d_inv)
+
+
 def test_multigrid_ccl_identical_labels():
     """Multigrid seeding must produce EXACTLY the flat solve's labels
     (same fixed point: min linear index per component)."""
