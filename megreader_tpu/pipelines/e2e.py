@@ -53,10 +53,13 @@ class E2EPipeline:
         box_thresh: float = 0.6,
         unclip_ratio: float = 1.5,
         #: 'ratio' = the reference's heuristic d = A'·ratio/P' of the shrunk
-        #: region; 'inverse' = exact closed-form inverse of the training
-        #: shrink (ops/ccl.unclip_distance_inverse) — recovers full text
-        #: height on elongated words where the heuristic under-expands.
-        unclip: str = "ratio",
+        #: region; 'inverse' (default) = exact closed-form inverse of the
+        #: training shrink (ops/ccl.unclip_distance_inverse) — recovers full
+        #: text height on elongated words where the heuristic under-expands.
+        #: A/B on 128 pages/condition (scripts/ab_unclip.py, TPU): upright
+        #: e2e recall tied at 0.9967; rotated 0.9865 (inverse) vs 0.9850
+        #: (ratio 1.5) vs 0.9716 (ratio 2.0).
+        unclip: str = "inverse",
         shrink_ratio: float = 0.4,
         crop_hw=(32, 100),
         box_margin: float = 4.0,
