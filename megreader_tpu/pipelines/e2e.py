@@ -73,6 +73,7 @@ class E2EPipeline:
         rectify: str = "perspective",
         ccl_iters: int = 24,
         ccl_multigrid: bool = False,
+        ccl_impl: str = "auto",
         bf16: bool = False,
         extract_impl: str = "auto",
         rec_mode: str = "greedy",
@@ -130,6 +131,9 @@ class E2EPipeline:
         #: the coarse while_loop adds iterations. Off by default; kept for
         #: shapes/backends where sweeps are bandwidth-bound.
         self.ccl_multigrid = ccl_multigrid
+        #: CCL solver: 'auto' resolves per target platform at build() time
+        #: (Pallas VMEM kernel on TPU, XLA scans elsewhere)
+        self.ccl_impl = ccl_impl
         self.bf16 = bf16
         #: region-stats path: 'auto' = VMEM Pallas kernels on TPU
         #: (ops/pallas_extract.py), XLA elsewhere; 'xla'/'pallas' force
@@ -171,6 +175,24 @@ class E2EPipeline:
         K = self.max_regions
         Ho, Wo = self.crop_hw
 
+        # Resolve 'auto' kernel impls against the platform the program will
+        # actually RUN on: with a mesh that is the mesh's devices — NOT the
+        # process default backend, which may be a live TPU while the mesh is
+        # the virtual-CPU dryrun (Pallas kernels can't lower on CPU).
+        platform = (
+            mesh.devices.flat[0].platform
+            if mesh is not None
+            else jax.default_backend()
+        )
+        ccl_impl = self.ccl_impl
+        if ccl_impl == "auto":
+            ccl_impl = "pallas" if platform == "tpu" else "xla"
+        extract_impl = self.extract_impl
+        if extract_impl == "auto" and platform != "tpu":
+            extract_impl = "xla"
+        #: attribution for benches: what 'auto' resolved to on this build
+        self.resolved_impls = {"ccl": ccl_impl, "extract": extract_impl}
+
         def run(det_vars, rec_vars, pages):
             B, H, W, _ = pages.shape
             x = normalize(pages)
@@ -186,10 +208,11 @@ class E2EPipeline:
 
             mask = prob > self.bin_thresh
             labels = connected_components(
-                mask, max_iters=self.ccl_iters, multigrid=self.ccl_multigrid
+                mask, max_iters=self.ccl_iters, multigrid=self.ccl_multigrid,
+                impl=ccl_impl,
             )
             stats = extract_regions(
-                labels, prob, max_regions=K, impl=self.extract_impl
+                labels, prob, max_regions=K, impl=extract_impl
             )
             if self.unclip == "inverse":
                 d = unclip_distance_inverse(stats, shrink_ratio=self.shrink_ratio)

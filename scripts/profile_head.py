@@ -4,8 +4,7 @@
 profile_det.py showed the prob head is ~7.2 of the detector's 13.4 ms at
 ~6.6% MFU on its ~92 GFLOP — far below the trunk's 27%. This times the
 head's stages by prefix slope (conv1 -> BN/relu -> up1 -> BN/relu -> up2
--> sigmoid) plus isolated variants (border fix on/off, fused vs naive
-upsample, fp32 vs bf16 BN) to find where the time actually goes.
+-> sigmoid) plus a fused-vs-naive upsample A/B to find where the time goes.
 """
 
 import argparse
@@ -32,7 +31,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dim", type=int, default=64)
     args = ap.parse_args()
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/runs/jax_cache")
+    import os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(__file__.rsplit("/", 2)[0], "runs", "jax_cache"),
+    )
 
     B, H, W, D = args.batch, args.hw, args.hw, args.dim
     head = MapHead(D, dtype=jnp.bfloat16, fused_upsample=True)
