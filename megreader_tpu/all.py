@@ -36,8 +36,9 @@ from .models.attention import AttentionRecognizer  # noqa: F401
 from .models.detector import SegDetector  # noqa: F401
 from .models.recognizer import CTCRecognizer  # noqa: F401
 from .models.recognizer2d import Ctc2dRecognizer  # noqa: F401
-from .models.spotter import RoITextSpotter  # noqa: F401
+from .models.spotter import RoITextSpotter, SharedTrunkSpotter  # noqa: F401
 from .pipelines.e2e import E2EPipeline  # noqa: F401
+from .pipelines.spotter_e2e import SpotterE2EPipeline  # noqa: F401
 from .pipelines.predictors import DetectorPredictor, RecognizerPredictor  # noqa: F401
 from .postproc.detection import SegDetectorRepresenter  # noqa: F401
 from .postproc.measurers import DetectionMeasurer, RecognitionMeasurer  # noqa: F401

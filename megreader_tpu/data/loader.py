@@ -117,6 +117,14 @@ def spotting_collate(
             lengths[b, : len(enc)] = lens
     batch["label"] = labels
     batch["label_length"] = lengths
+    # joint detect+recognize training (SharedTrunkSpotter): pass host GT
+    # maps through with the detection collate's compact wire dtypes
+    if "gt" in samples[0]:
+        for k in ("gt", "mask", "thresh_mask"):
+            batch[k] = np.stack([s[k] for s in samples]).astype(np.uint8)
+        batch["thresh_map"] = np.stack(
+            [s["thresh_map"] for s in samples]
+        ).astype(np.float16)
     return batch
 
 

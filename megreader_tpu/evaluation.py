@@ -95,6 +95,6 @@ def evaluate(
 ) -> Dict[str, float]:
     if exp.task in ("CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"):
         return evaluate_recognition(exp, variables, mode=mode)
-    if exp.task == "RoITextSpotter":
+    if exp.task in ("RoITextSpotter", "SharedTrunkSpotter"):
         return evaluate_spotting(exp, variables)
     return evaluate_detection(exp, variables, protocol=protocol)

@@ -32,7 +32,7 @@ from .train.trainer import Trainer
 
 RECOGNITION_TASKS = {"CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"}
 DETECTION_TASKS = {"SegDetector"}
-SPOTTING_TASKS = {"RoITextSpotter"}
+SPOTTING_TASKS = {"RoITextSpotter", "SharedTrunkSpotter"}
 
 
 def _recognition_prepare(batch: Dict, crop_hw=(32, 100), augment_rng=None) -> Dict:
@@ -95,7 +95,9 @@ def _detection_prepare_device(batch: Dict, gt_kwargs: Optional[Dict] = None) -> 
 
 def _spotting_prepare(batch: Dict, box_margin: float = 2.0) -> Dict:
     """RoI spotting: polygons -> axis-aligned boxes with a small margin
-    (matching the e2e crop margin role); labels pass through."""
+    (matching the e2e crop margin role); labels pass through. When the
+    batch also carries detection GT maps (SharedTrunkSpotter joint
+    training), they ride along with the detection prepare's dtype casts."""
     image = normalize(jnp.asarray(batch["image"]).astype(jnp.float32))
     polys = jnp.asarray(batch["polys"])  # (B, P, 4, 2)
     H, W = image.shape[1], image.shape[2]
@@ -104,7 +106,7 @@ def _spotting_prepare(batch: Dict, box_margin: float = 2.0) -> Dict:
     x1 = jnp.clip(jnp.max(polys[..., 0], axis=-1) + m, 1, W)
     y0 = jnp.clip(jnp.min(polys[..., 1], axis=-1) - m, 0, H - 1)
     y1 = jnp.clip(jnp.max(polys[..., 1], axis=-1) + m, 1, H)
-    return {
+    out = {
         "image": image,
         "rois": jnp.stack([x0, y0, x1, y1], axis=-1),
         "roi_valid": jnp.asarray(batch["poly_valid"])
@@ -112,6 +114,10 @@ def _spotting_prepare(batch: Dict, box_margin: float = 2.0) -> Dict:
         "label": jnp.asarray(batch["label"]),
         "label_length": jnp.asarray(batch["label_length"]),
     }
+    for k in ("gt", "mask", "thresh_map", "thresh_mask"):
+        if k in batch:
+            out[k] = jnp.asarray(batch[k]).astype(jnp.float32)
+    return out
 
 
 @register
@@ -200,9 +206,13 @@ class Experiment:
                 max_label_len=max_label_len,
             )
             prepare = _spotting_prepare
-            for ds in (train_dataset, eval_dataset):
-                if ds is not None and hasattr(ds, "gt_maps"):
-                    ds.gt_maps = False  # spotting needs polygons+texts only
+            # RoITextSpotter needs polygons+texts only; the joint
+            # SharedTrunkSpotter ALSO trains its detection heads, so it
+            # keeps the dataset's host GT maps flowing through the collate
+            if self.task != "SharedTrunkSpotter":
+                for ds in (train_dataset, eval_dataset):
+                    if ds is not None and hasattr(ds, "gt_maps"):
+                        ds.gt_maps = False
         else:
             raise ValueError(f"unknown task for model {self.task}")
         self.collate = collate

@@ -33,8 +33,9 @@ import jax.numpy as jnp
 
 from ..core.registry import register
 from ..ops.ctc import ctc_greedy_decode, ctc_loss
+from ..ops.losses import balanced_bce_loss, dice_loss, masked_l1_loss
 from .deform import DeformRoIPooling
-from .detector import FPNNeck
+from .detector import FPNNeck, MapHead
 from .resnet import resnet_variant
 
 
@@ -160,6 +161,197 @@ class RoITextSpotter:
     def decode(self, variables, images, rois):
         """Greedy CTC per RoI: (ids (B, P, T), lengths (B, P))."""
         logits = self.net.apply(variables, images, rois, train=False)
+        B, P, T, _ = logits.shape
+        ids, lens = ctc_greedy_decode(
+            logits.reshape(B * P, T, -1),
+            jnp.full((B * P,), T, jnp.int32),
+            blank=self.blank,
+        )
+        return ids.reshape(B, P, T), lens.reshape(B, P)
+
+
+# ---------------------------------------------------------------------------
+# Shared-trunk spotter: detection heads + RoI recognition from ONE trunk
+# ---------------------------------------------------------------------------
+
+
+class SharedTrunkSpotterNet(nn.Module):
+    """One trunk+FPN serving BOTH tasks (the FOTS-style shared-conv layout,
+    and the honest test of the amortized-trunk claim — VERDICT r3 #6):
+
+      pages -> trunk -> FPN fused (B, H/4, W/4, D)
+        -> prob/thresh MapHeads            (detection, DB losses)
+        -> DeformRoIPooling over word RoIs -> BiLSTM -> CTC  (recognition)
+
+    Serving never runs a second trunk: the e2e program detects on the fused
+    map's prob head, derives boxes, and pools from the SAME fused map.
+    ``rois=None`` skips the recognition branch (pure detection forward);
+    ``heads=()`` skips detection (pure recognition over given rois).
+    """
+
+    num_classes: int
+    backbone: str = "resnet18"
+    fpn_dim: int = 256
+    head_dim: int = 64
+    k: float = 50.0
+    pool_hw: Tuple[int, int] = (4, 32)
+    hidden: int = 256
+    trans_hidden: int = 128
+    dcn_stages: Any = ()
+    dtype: Any = None
+
+    def setup(self):
+        from .sequence import StackedBiLSTM
+
+        self.trunk = resnet_variant(
+            self.backbone, "det", dtype=self.dtype,
+            dcn_stages=tuple(self.dcn_stages),
+        )
+        self.fpn = FPNNeck(self.fpn_dim, self.fpn_dim, dtype=self.dtype)
+        self.prob_head = MapHead(self.head_dim, dtype=self.dtype)
+        self.thresh_head = MapHead(self.head_dim, dtype=self.dtype)
+        self.roi_pool = nn.vmap(
+            DeformRoIPooling,
+            in_axes=(0, 0), out_axes=0,
+            variable_axes={"params": None}, split_rngs={"params": False},
+        )(
+            out_size=tuple(self.pool_hw), spatial_scale=0.25,
+            hidden=self.trans_hidden,
+        )
+        self.encoder = StackedBiLSTM(self.hidden, 1, dtype=self.dtype)
+        self.classifier = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def fused_map(self, images, train: bool = False):
+        """ONE trunk+FPN pass -> (B, H/4, W/4, D). Serving calls this once
+        and feeds both branches below from the result."""
+        return self.fpn(self.trunk(images, train=train))
+
+    def detect_maps(self, fused, train: bool = False,
+                    heads: Tuple[str, ...] = ("prob", "thresh")):
+        out = {}
+        if "prob" in heads:
+            out["prob"] = self.prob_head(fused, train=train)
+        if "thresh" in heads:
+            out["thresh"] = self.thresh_head(fused, train=train)
+        if "prob" in out and "thresh" in out:
+            out["binary"] = jax.nn.sigmoid(
+                self.k * (out["prob"] - out["thresh"])
+            )
+        return out
+
+    def recognize(self, fused, rois):
+        """(B, P, 4) page-coord boxes -> logits (B, P, kw, classes) fp32."""
+        pooled = self.roi_pool(fused.astype(jnp.float32), rois)
+        B, P, kh, kw, D = pooled.shape
+        seq = jnp.mean(pooled, axis=2).reshape(B * P, kw, D)
+        if self.dtype is not None:
+            seq = seq.astype(self.dtype)
+        seq = self.encoder(seq)
+        logits = self.classifier(seq)
+        return logits.astype(jnp.float32).reshape(B, P, kw, self.num_classes)
+
+    def __call__(self, images, rois=None, train: bool = False,
+                 heads: Tuple[str, ...] = ("prob", "thresh")):
+        fused = self.fused_map(images, train=train)
+        out = dict(self.detect_maps(fused, train=train, heads=heads))
+        if rois is not None:
+            out["logits"] = self.recognize(fused, rois)
+        return out
+
+
+@register
+class SharedTrunkSpotter:
+    """Task wrapper: joint DB detection losses + CTC recognition loss from
+    one trunk pass; serving composes via pipelines/spotter_e2e.py."""
+
+    def __init__(
+        self,
+        num_classes: int = 37,
+        backbone: str = "resnet18",
+        fpn_dim: int = 256,
+        head_dim: int = 64,
+        pool_hw=(4, 32),
+        hidden: int = 256,
+        blank: int = 0,
+        dcn_stages=(),
+        compute_dtype: str = "float32",
+        bce_scale: float = 5.0,
+        l1_scale: float = 10.0,
+        negative_ratio: float = 3.0,
+        ctc_scale: float = 1.0,
+    ):
+        self.net = SharedTrunkSpotterNet(
+            num_classes=num_classes,
+            backbone=backbone,
+            fpn_dim=fpn_dim,
+            head_dim=head_dim,
+            pool_hw=tuple(pool_hw),
+            hidden=hidden,
+            dcn_stages=tuple(dcn_stages),
+            dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
+        )
+        self.num_classes = num_classes
+        self.blank = blank
+        self.bce_scale = bce_scale
+        self.l1_scale = l1_scale
+        self.negative_ratio = negative_ratio
+        self.ctc_scale = ctc_scale
+
+    def init(self, rng, sample_images, sample_rois=None):
+        if sample_rois is None:
+            B = sample_images.shape[0]
+            sample_rois = jnp.tile(
+                jnp.asarray([[0.0, 0.0, 64.0, 16.0]], jnp.float32), (B, 1, 1)
+            )
+        return self.net.init(rng, sample_images, sample_rois, train=False)
+
+    def apply(self, variables, images, rois=None, train: bool = False,
+              mutable=False, heads=("prob", "thresh")):
+        return self.net.apply(
+            variables, images, rois, train=train, mutable=mutable,
+            heads=tuple(heads),
+        )
+
+    def loss(self, variables, batch, train: bool = True, rngs=None):
+        """batch: image; gt/mask/thresh_map/thresh_mask det targets;
+        rois (B,P,4); roi_valid (B,P); label (B,P,L); label_length (B,P)."""
+        out = self.net.apply(
+            variables, batch["image"], batch["rois"], train=train,
+            mutable=["batch_stats"] if train else False, rngs=rngs,
+        )
+        maps, new_state = out if train else (out, {})
+        bce = balanced_bce_loss(
+            maps["prob"], batch["gt"], batch["mask"], self.negative_ratio
+        )
+        dice = dice_loss(maps["binary"], batch["gt"], batch["mask"])
+        l1 = masked_l1_loss(
+            maps["thresh"], batch["thresh_map"], batch["thresh_mask"]
+        )
+
+        logits = maps["logits"]
+        B, P, T, _ = logits.shape
+        flat = logits.reshape(B * P, T, self.num_classes)
+        labels = batch["label"].reshape(B * P, -1)
+        lab_len = batch["label_length"].reshape(B * P)
+        valid = batch["roi_valid"].reshape(B * P) & (lab_len > 0)
+        nll = ctc_loss(
+            flat, jnp.full((B * P,), T, jnp.int32), labels,
+            jnp.where(valid, lab_len, 1), blank=self.blank, reduction="none",
+        )
+        per = nll / jnp.maximum(lab_len, 1).astype(nll.dtype)
+        ctc = jnp.sum(jnp.where(valid, per, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1
+        ).astype(nll.dtype)
+
+        total = self.bce_scale * bce + dice + self.l1_scale * l1 + self.ctc_scale * ctc
+        metrics = {"loss": total, "bce": bce, "dice": dice,
+                   "thresh_l1": l1, "ctc": ctc}
+        return total, (metrics, new_state)
+
+    def decode(self, variables, images, rois):
+        """Greedy CTC per RoI (recognition branch only — no det heads)."""
+        out = self.net.apply(variables, images, rois, train=False, heads=())
+        logits = out["logits"]
         B, P, T, _ = logits.shape
         ids, lens = ctc_greedy_decode(
             logits.reshape(B * P, T, -1),

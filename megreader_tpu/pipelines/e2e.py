@@ -188,7 +188,10 @@ class E2EPipeline:
         if ccl_impl == "auto":
             ccl_impl = "pallas" if platform == "tpu" else "xla"
         extract_impl = self.extract_impl
-        if extract_impl == "auto" and platform != "tpu":
+        if extract_impl == "auto":
+            # mirrors ops/ccl.extract_regions: centered-XLA won the
+            # in-pipeline A/B on TPU (RESULTS.md round 3) and is the only
+            # lowering elsewhere
             extract_impl = "xla"
         #: attribution for benches: what 'auto' resolved to on this build
         self.resolved_impls = {"ccl": ccl_impl, "extract": extract_impl}

@@ -1,0 +1,95 @@
+"""8-device convergence THROUGH the disk data path (VERDICT r3 #8).
+
+Not a one-step dryrun: trains the small detector through the full stack —
+ICDAR-format disk dataset -> host-sharded Loader -> device-GT fused train
+step -> orbax checkpoint -> ICDAR-protocol eval — once on a single device
+and once SPMD over the 8-virtual-CPU mesh at the SAME global batch, and
+asserts (a) both runs actually learn (H-mean well above chance) and
+(b) the mesh run matches the single-device run (data-parallel SPMD is the
+same math up to reduction order, so parity should be tight).
+
+Marked slow: two short CPU trainings (~minutes with the compile cache).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import megreader_tpu.all  # noqa: F401
+
+pytestmark = pytest.mark.slow
+
+STEPS = 120
+HW = (160, 160)
+
+
+def _write_disk_dataset(root, n, seed, hw):
+    """Export synthetic pages to the reference's ICDAR dir-pair format."""
+    import cv2
+
+    from megreader_tpu.data import SyntheticDetectionDataset
+
+    img_dir = os.path.join(root, "images")
+    gt_dir = os.path.join(root, "gts")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    ds = SyntheticDetectionDataset(
+        n=n, hw=hw, seed=seed, gt_maps=False, max_rotate=10.0
+    )
+    for i in range(n):
+        it = ds[i]
+        cv2.imwrite(
+            os.path.join(img_dir, f"img_{i}.jpg"),
+            cv2.cvtColor(it["image"], cv2.COLOR_RGB2BGR),
+        )
+        with open(os.path.join(gt_dir, f"gt_img_{i}.txt"), "w") as f:
+            for poly, text in zip(it["polygons"], it["texts"]):
+                coords = ",".join(str(int(round(v))) for v in poly.reshape(-1))
+                f.write(f"{coords},{text}\n")
+    return img_dir, gt_dir
+
+
+def _train_and_eval(tmp_path, tag, use_mesh, img_dir, gt_dir):
+    import jax
+
+    from megreader_tpu.data.datasets import DetectionICDARDataset
+    from megreader_tpu.evaluation import evaluate_detection
+    from megreader_tpu.experiment import Experiment
+    from megreader_tpu.models.detector import SegDetector
+    from megreader_tpu.train import OptimizerConfig
+
+    train_ds = DetectionICDARDataset(img_dir, gt_dir, target_hw=HW)
+    eval_ds = DetectionICDARDataset(img_dir, gt_dir, target_hw=HW)
+    exp = Experiment(
+        model=SegDetector(fpn_dim=32, head_dim=8, width=32),
+        train_dataset=train_ds,
+        eval_dataset=eval_ds,
+        batch_size=8,
+        epochs=STEPS // (len(train_ds) // 8),
+        workspace=str(tmp_path / tag),
+        optimizer=OptimizerConfig(name="adam", lr=1e-3, schedule="constant"),
+        use_mesh=use_mesh,
+        log_every=50,
+        seed=0,
+        loader_workers=2,
+    )
+    if use_mesh:
+        assert len(jax.devices()) >= 8, "conftest should give 8 cpu devices"
+    state = exp.make_trainer().train()
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    metrics = evaluate_detection(exp, variables)
+    return metrics
+
+
+def test_multichip_disk_convergence_matches_single_device(tmp_path):
+    img_dir, gt_dir = _write_disk_dataset(str(tmp_path / "data"), 64, 5, HW)
+    single = _train_and_eval(tmp_path, "single", False, img_dir, gt_dir)
+    mesh = _train_and_eval(tmp_path, "mesh8", True, img_dir, gt_dir)
+    # both runs learned real detection (untrained H-mean is ~0)
+    assert single["hmean"] > 0.6, single
+    assert mesh["hmean"] > 0.6, mesh
+    # SPMD parity at the same global batch: same math up to reduction order
+    assert abs(single["hmean"] - mesh["hmean"]) < 0.08, (single, mesh)

@@ -114,3 +114,95 @@ def test_spotting_experiment_wiring(tmp_path):
         train=True,
     )
     assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# SharedTrunkSpotter: one trunk feeding detection heads + RoI recognition
+# ---------------------------------------------------------------------------
+
+
+def test_shared_spotter_joint_loss_and_decode():
+    from megreader_tpu.models.spotter import SharedTrunkSpotter
+
+    B, P, H, W, L = 2, 3, 64, 96, 8
+    model = SharedTrunkSpotter(num_classes=11, fpn_dim=32, head_dim=8,
+                               pool_hw=(2, 8), hidden=16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32),
+        "rois": jnp.asarray(
+            np.tile([[4.0, 4.0, 60.0, 20.0]], (B, P, 1)), jnp.float32
+        ),
+        "roi_valid": jnp.ones((B, P), bool),
+        "label": jnp.asarray(rng.integers(1, 11, (B, P, L)), jnp.int32),
+        "label_length": jnp.full((B, P), L, jnp.int32),
+        "gt": jnp.zeros((B, H, W), jnp.float32).at[:, 8:16, 8:40].set(1.0),
+        "mask": jnp.ones((B, H, W), jnp.float32),
+        "thresh_map": jnp.full((B, H, W), 0.3, jnp.float32),
+        "thresh_mask": jnp.zeros((B, H, W), jnp.float32).at[:, 6:18, 6:42].set(1.0),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"], batch["rois"])
+    loss, (metrics, new_state) = model.loss(variables, batch, train=True)
+    assert np.isfinite(float(loss))
+    # the joint loss carries BOTH task terms
+    assert {"bce", "dice", "thresh_l1", "ctc"} <= set(metrics)
+    assert float(metrics["ctc"]) > 0 and float(metrics["bce"]) > 0
+    assert "batch_stats" in new_state
+
+    ids, lens = model.decode(variables, batch["image"], batch["rois"])
+    assert ids.shape[:2] == (B, P) and lens.shape == (B, P)
+
+    # detection-only forward returns maps without touching the RoI branch
+    maps = model.apply(variables, batch["image"], heads=("prob",))
+    assert maps["prob"].shape == (B, H, W)
+
+
+def test_spotter_e2e_pipeline_one_program():
+    from megreader_tpu.models.spotter import SharedTrunkSpotter
+    from megreader_tpu.pipelines.spotter_e2e import SpotterE2EPipeline
+
+    B, H, W = 2, 64, 96
+    model = SharedTrunkSpotter(num_classes=11, fpn_dim=32, head_dim=8,
+                               pool_hw=(2, 8), hidden=16)
+    rng = np.random.default_rng(1)
+    pages = jnp.asarray(rng.random((B, H, W, 3)) * 255.0, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), pages)
+    pipe = SpotterE2EPipeline(model, max_regions=4, box_thresh=0.0)
+    run = pipe.build()
+    out = run(variables, pages)
+    assert out["ids"].shape[:2] == (B, 4)
+    assert out["quads"].shape == (B, 4, 4, 2)
+    assert np.isfinite(np.asarray(out["quads"])).all()
+    assert pipe.resolved_impls["ccl"] in ("xla", "pallas")
+    # predict() surfaces host dicts
+    res = pipe.predict(variables, pages)
+    assert len(res) == B
+
+
+def test_shared_spotter_experiment_wiring(tmp_path):
+    """Joint collate/prepare: GT maps AND RoI labels in one batch."""
+    from megreader_tpu.data import SyntheticDetectionDataset
+    from megreader_tpu.experiment import Experiment
+    from megreader_tpu.models.spotter import SharedTrunkSpotter
+
+    ds = SyntheticDetectionDataset(n=4, hw=(64, 64), seed=0, gt_maps=True)
+    exp = Experiment(
+        model=SharedTrunkSpotter(num_classes=37, fpn_dim=32, head_dim=8,
+                                 pool_hw=(2, 8), hidden=16),
+        train_dataset=ds,
+        batch_size=2,
+        workspace=str(tmp_path),
+        use_mesh=False,
+        max_label_len=16,
+    )
+    assert ds.gt_maps  # joint task keeps host GT maps ON
+    b = next(iter(exp.train_loader))
+    prepped = exp.prepare(b)
+    for k in ("gt", "mask", "thresh_map", "thresh_mask", "rois", "label"):
+        assert k in prepped, k
+    loss, (metrics, _) = exp.model.loss(
+        exp.model.init(jax.random.PRNGKey(0), prepped["image"], prepped["rois"]),
+        prepped,
+        train=True,
+    )
+    assert np.isfinite(float(loss))
