@@ -133,6 +133,81 @@ def _fused_upsample_conv(x, kernel, bias):
     return z
 
 
+def _phase_conv_packed(x, kernel, bias):
+    """Stage-1 of the packed head tail: the interior of
+    ``_fused_upsample_conv`` WITHOUT depth-to-space — returns phases as
+    channels (B, H, W, 2, 2, Cout), row-phase-major. Borders are NOT fixed
+    here; the packed head recomputes all outer output strips exactly from
+    thin slices at the end (``MapHead``)."""
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    taps = jnp.asarray(_PHASE_TAPS, kernel.dtype)
+    K = jnp.einsum("pdh,qew,deio->pqhwio", taps, taps, kernel)
+    K = jnp.transpose(K, (2, 3, 4, 0, 1, 5)).reshape(3, 3, Cin, 4 * Cout)
+    xr = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    z = jax.lax.conv_general_dilated(
+        xr, K, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        z = z + jnp.tile(bias, 4)
+    return z.reshape(B, H, W, 2, 2, Cout)
+
+
+def _packed2_kernel(kernel):
+    """Compose [2x bilinear upsample -> 3x3 conv] with a PHASE-PACKED input:
+    kernel (3, 3, C1, C2) -> (3, 3, 4*C1, 16*C2) acting on the stage-1
+    packed tensor (channels ((ph, pw), C1) row-phase-major) and producing
+    ((rh, rw), C2) with r = 2*q + p' — i.e. the second upsample-conv stage
+    evaluated directly at LOW resolution. Derivation: per dim,
+    z[2i+p'] = sum_t A2[p', t] * u[i+t-1] (the stage-1 composition with
+    u = packed stage-1 output on the 2x grid), and u[2a+q+t-1] lands in
+    packed slot (a+s, phi) with (s, phi) = divmod(q+t-1+2, 2) - (1, 0)."""
+    C1, C2 = kernel.shape[2], kernel.shape[3]
+    taps = jnp.asarray(_PHASE_TAPS, kernel.dtype)
+    # A2[p'h, p'w, th, tw, ci, co] — identical composition to stage 1
+    A2 = jnp.einsum("pdh,qew,deio->pqhwio", taps, taps, kernel)
+    K = jnp.zeros((3, 3, 4 * C1, 16 * C2), kernel.dtype)
+    for qh in range(2):
+        for ph in range(2):
+            rh = 2 * qh + ph
+            for qw in range(2):
+                for pw in range(2):
+                    rw = 2 * qw + pw
+                    for th in range(3):
+                        sh, fh = divmod(qh + th + 1, 2)
+                        for tw in range(3):
+                            sw, fw = divmod(qw + tw + 1, 2)
+                            ci = (fh * 2 + fw) * C1
+                            co = (rh * 4 + rw) * C2
+                            K = K.at[
+                                sh, sw, ci : ci + C1, co : co + C2
+                            ].add(A2[ph, pw, th, tw])
+    return K
+
+
+def _packed2_conv(v, kernel, bias):
+    """Stage-2 of the packed head tail: v (B, H, W, 2, 2, C1) packed stage-1
+    output -> (B, 4H, 4W, C2), the exact interior of
+    [2x upsample -> conv3x3] applied to the virtual 2x-resolution image.
+    All compute stays at (H, W) with wide channels; ONE final
+    depth-to-space(4) produces the full-res map."""
+    B, H, W, _, _, C1 = v.shape
+    C2 = kernel.shape[-1]
+    K = _packed2_kernel(kernel)
+    vf = v.reshape(B, H, W, 4 * C1)
+    vr = jnp.pad(vf, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    z = jax.lax.conv_general_dilated(
+        vr, K, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=vf.dtype,
+    )  # (B, H, W, 16*C2)
+    if bias is not None:
+        z = z + jnp.tile(bias, 16)
+    z = z.reshape(B, H, W, 4, 4, C2)
+    z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(B, 4 * H, 4 * W, C2)
+    return z
+
+
 class FPNNeck(nn.Module):
     """Top-down FPN: laterals to `dim`, upsample+add, smooth, concat at /4."""
 
@@ -173,7 +248,13 @@ class _UpConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mode: str = "full"):
+        """``mode``: 'full' = exact (B, 2H, 2W, C) output incl. border fix;
+        'packed' = stage-1 interior, phases-as-channels (B, H, W, 2, 2, C);
+        'packed2' = stage-2 on a packed input (B, H, W, 2, 2, Cin) ->
+        (B, 4H, 4W, C). Packed modes keep all compute at low resolution
+        with wide channels (the full-res 32/1-channel intermediates are
+        layout-bound on TPU); their borders are recomputed by the caller."""
         Cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, Cin, self.features)
@@ -190,6 +271,10 @@ class _UpConv(nn.Module):
         x = x.astype(dt)
         kernel = kernel.astype(dt)
         bias = bias.astype(dt) if bias is not None else None
+        if mode == "packed":
+            return _phase_conv_packed(x, kernel, bias)
+        if mode == "packed2":
+            return _packed2_conv(x, kernel, bias)
         return _fused_upsample_conv(x, kernel, bias)
 
 
@@ -205,6 +290,11 @@ class MapHead(nn.Module):
     dim: int = 64
     dtype: Any = None
     fused_upsample: bool = True
+    #: serving-only: evaluate the WHOLE upsample tail at low resolution with
+    #: phases packed as channels (64 -> 128 -> 16 wide at H/4), one final
+    #: depth-to-space(4) — nothing materializes at 2x/4x except the map.
+    #: Exact: outer 4-px strips recomputed through the reference chain.
+    packed_serving: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -217,20 +307,54 @@ class MapHead(nn.Module):
         # otherwise fp32 leaks into the full-res tail
         y = y.astype(dt if dt is not None else x.dtype)
         B, h, w, _ = y.shape
-        if self.fused_upsample:
-            y = _UpConv(self.dim // 2, use_bias=False, dtype=dt, name="up1")(y)
-        else:
+        if not self.fused_upsample:
             y = _resize_to(y, h * 2, w * 2)
             y = nn.Conv(self.dim // 2, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=dt, name="up1")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(y)
-        y = nn.relu(y)
-        y = y.astype(dt if dt is not None else x.dtype)
-        if self.fused_upsample:
-            y = _UpConv(1, dtype=dt, name="up2")(y)
-        else:
+            y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(y)
+            y = nn.relu(y)
+            y = y.astype(dt if dt is not None else x.dtype)
             y = _resize_to(y, h * 4, w * 4)
             y = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="up2")(y)
-        return jax.nn.sigmoid(y[..., 0].astype(jnp.float32))  # (B, H, W) fp32
+            return jax.nn.sigmoid(y[..., 0].astype(jnp.float32))
+
+        up1 = _UpConv(self.dim // 2, use_bias=False, dtype=dt, name="up1")
+        bn1 = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")
+        up2 = _UpConv(1, dtype=dt, name="up2")
+        cdt = dt if dt is not None else x.dtype
+
+        def tail_full(y0):
+            t = up1(y0)
+            t = nn.relu(bn1(t)).astype(cdt)
+            return up2(t)
+
+        # Training keeps the 2x-resolution intermediate: BN batch statistics
+        # must be computed over the SAME tensor the reference formulation
+        # normalizes (per-phase packing reweights nothing, but keeping one
+        # canonical stats path avoids two updaters for one variable).
+        if train or not self.packed_serving:
+            y = tail_full(y)
+            return jax.nn.sigmoid(y[..., 0].astype(jnp.float32))
+
+        # --- packed serving tail: everything at (h, w) until one d2s(4) ---
+        v = up1(y, mode="packed")  # (B, h, w, 2, 2, dim/2)
+        v = nn.relu(bn1(v)).astype(cdt)  # eval BN = per-channel affine
+        z = up2(v, mode="packed2")  # (B, 4h, 4w, 1)
+
+        # Exact border recompute: the packed interior edge-pads where the
+        # reference chain sees the bilinear clamp AND the convs' zero pad.
+        # Outer 4-px output strips re-run the exact full-path on thin
+        # slices (8 guard rows/cols cover the tail's receptive field).
+        # Columns run AFTER rows from full-height slices, settling corners.
+        g, k = 8, 4
+        top = tail_full(y[:, :g])[:, :k]
+        bot = tail_full(y[:, -g:])[:, -k:]
+        z = z.at[:, :k].set(top)
+        z = z.at[:, -k:].set(bot)
+        left = tail_full(y[:, :, :g])[:, :, :k]
+        right = tail_full(y[:, :, -g:])[:, :, -k:]
+        z = z.at[:, :, :k].set(left)
+        z = z.at[:, :, -k:].set(right)
+        return jax.nn.sigmoid(z[..., 0].astype(jnp.float32))
 
 
 class SegDetectorNet(nn.Module):

@@ -227,3 +227,34 @@ def test_s2d_stem_exact_via_segdetector():
     a = model.apply(v, x, heads=("prob",))["prob"]
     b = model2.apply(v, x, heads=("prob",))["prob"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_serving_head_matches_full_path():
+    """The packed serving tail (everything at low res, phases as channels,
+    one final depth-to-space) must be EXACT vs the reference formulation,
+    including all borders/corners and a non-identity BN affine."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from megreader_tpu.models.detector import MapHead
+
+    rng = np.random.default_rng(0)
+    for (h, w, dim) in [(12, 10, 16), (7, 9, 8)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, 32)), jnp.float32)
+        head_p = MapHead(dim, packed_serving=True)
+        head_f = MapHead(dim, packed_serving=False)
+        variables = head_p.init(jax.random.PRNGKey(0), x, train=False)
+        bs = jax.tree.map(
+            lambda a: a + 0.3 * np.abs(rng.normal(size=a.shape)).astype(a.dtype),
+            variables["batch_stats"],
+        )
+        variables = {"params": variables["params"], "batch_stats": bs}
+        out_p = head_p.apply(variables, x, train=False)
+        out_f = head_f.apply(variables, x, train=False)
+        np.testing.assert_allclose(out_p, out_f, atol=2e-6)
+    # train mode ignores the packed path (canonical BN stats tensor)
+    y, st = head_p.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert y.shape == (2, 4 * h, 4 * w)
