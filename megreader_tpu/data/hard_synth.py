@@ -403,7 +403,12 @@ def pick_fg_color(
         up_ok, dn_ok = bg_mean + c <= 255, bg_mean - c >= 0
         go_up = up_ok and (not dn_ok or rng.random() < 0.5)
     else:
+        # forced polarity: cap the contrast to the available headroom but
+        # never below min_contrast — otherwise a dark bg forces invisible
+        # dark text and the polarity slice measures clipping, not polarity
         go_up = polarity == "light"
+        headroom = (255.0 - bg_mean) if go_up else bg_mean
+        c = max(min(c, headroom), min_contrast)
     lum = np.clip(bg_mean + (c if go_up else -c), 0, 255)
     col = np.clip(lum + rng.uniform(-20, 20, 3), 0, 255).astype(np.float32)
     return col, ("light" if go_up else "dark")

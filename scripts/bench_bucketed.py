@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Mixed-size page serving: BucketedE2E vs resize-everything (VERDICT r3 #7).
+
+Builds a mixed set of 512/640/896/1152-px pages (rotated synthetic text),
+then measures:
+
+  A. BucketedE2E — each page scales (never upscales) into the smallest
+     canvas bucket, one compiled program per bucket; aggregate pages/s,
+     per-bucket exact-text word recall, and the compile count.
+  B. Naive — every page resized to one 1152x1152 canvas (the only
+     fixed-shape program that preserves the largest pages), same metrics.
+
+Checkpoints: the cached eval_e2e workspace (trains if absent — same
+recipe as bench.py/eval_e2e). Run on TPU: python scripts/bench_bucketed.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages-per-size", type=int, default=24)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--max-regions", type=int, default=48)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(__file__.rsplit("/", 2)[0], "runs", "jax_cache"),
+    )
+
+    from eval_e2e import train_models  # cached checkpoints
+
+    from megreader_tpu.data import SyntheticDetectionDataset
+    from megreader_tpu.data.bucketing import DEFAULT_BUCKETS, pick_bucket
+    from megreader_tpu.pipelines import BucketedE2E, E2EPipeline
+
+    det, det_vars, rec, rec_vars, cs = train_models()
+
+    sizes = [(512, 512), (640, 640), (896, 896), (1152, 1152)]
+    pages, gts, page_size = [], [], []
+    for si, hw in enumerate(sizes):
+        ds = SyntheticDetectionDataset(
+            n=args.pages_per_size, hw=hw, seed=7000 + si, gt_maps=False,
+            max_rotate=15, max_persp=0.05,
+        )
+        for i in range(args.pages_per_size):
+            it = ds[i]
+            pages.append(it["image"].astype(np.float32))
+            gts.append([cs.normalize(t) for t in it["texts"]])
+            page_size.append(hw[0])
+
+    def recall_of(results):
+        per_size = {}
+        for res, gt, sz in zip(results, gts, page_size):
+            preds = [p["text"] for p in res]
+            hit = 0
+            for w in gt:
+                if w in preds:
+                    preds.remove(w)
+                    hit += 1
+            h, t = per_size.get(sz, (0, 0))
+            per_size[sz] = (h + hit, t + len(gt))
+        total_h = sum(h for h, _ in per_size.values())
+        total_t = sum(t for _, t in per_size.values())
+        return {
+            "overall": round(total_h / max(total_t, 1), 4),
+            **{f"{sz}px": round(h / max(t, 1), 4) for sz, (h, t) in sorted(per_size.items())},
+        }
+
+    pipe = E2EPipeline(
+        det, rec, charset=cs, max_regions=args.max_regions,
+        rectify="perspective", bf16=True,
+    )
+    bucketed = BucketedE2E(pipe, batch=args.batch)
+
+    # warm both paths (compile), then time
+    _ = bucketed.predict(det_vars, rec_vars, pages[: args.batch])
+    n_programs = len({pick_bucket(p.shape[0], p.shape[1], DEFAULT_BUCKETS)
+                      for p in pages})
+    t0 = time.perf_counter()
+    res_b = bucketed.predict(det_vars, rec_vars, pages)
+    t_bucket = time.perf_counter() - t0
+
+    # naive: everything into the ONE canvas that preserves the largest page
+    S = 1152
+    import cv2
+
+    naive_pages = [cv2.resize(p, (S, S)).astype(np.float32) for p in pages]
+    _ = pipe.predict(det_vars, rec_vars,
+                     jnp.asarray(np.stack(naive_pages[: args.batch])))
+    t0 = time.perf_counter()
+    res_n = []
+    for s in range(0, len(naive_pages), args.batch):
+        chunk = naive_pages[s : s + args.batch]
+        while len(chunk) < args.batch:
+            chunk = chunk + [np.zeros((S, S, 3), np.float32)]
+        out = pipe.predict(det_vars, rec_vars, jnp.asarray(np.stack(chunk)))
+        res_n.extend(out[: len(naive_pages[s : s + args.batch])])
+    t_naive = time.perf_counter() - t0
+
+    n = len(pages)
+    report = {
+        "n_pages": n,
+        "bucketed": {
+            "pages_per_sec": round(n / t_bucket, 2),
+            "compiled_programs": n_programs,
+            "recall": recall_of(res_b),
+        },
+        "naive_1152": {
+            "pages_per_sec": round(n / t_naive, 2),
+            "compiled_programs": 1,
+            "recall": recall_of(res_n),
+        },
+    }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,9 @@ import megreader_tpu.all  # noqa: F401
 
 pytestmark = pytest.mark.slow
 
-STEPS = 120
+#: the detector's usual step budget (matches bench.py's trained detector);
+#: at 240 steps this tiny-width recipe sits at H-mean ~0.37 still climbing
+STEPS = 640
 HW = (160, 160)
 
 
