@@ -18,7 +18,16 @@ import pytest
 
 import megreader_tpu.all  # noqa: F401
 
-pytestmark = pytest.mark.slow
+# Two 640-step CPU detector trainings: ~25-45 min. Green as of round 4
+# (both arms learned; H-mean parity within tolerance). Opt-in so the
+# default suite stays fast: MEGREADER_RUN_SLOW=1 python -m pytest ...
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("MEGREADER_RUN_SLOW"),
+        reason="~25+ min CPU integration; set MEGREADER_RUN_SLOW=1",
+    ),
+]
 
 #: the detector's usual step budget (matches bench.py's trained detector);
 #: at 240 steps this tiny-width recipe sits at H-mean ~0.37 still climbing
@@ -90,6 +99,7 @@ def test_multichip_disk_convergence_matches_single_device(tmp_path):
     img_dir, gt_dir = _write_disk_dataset(str(tmp_path / "data"), 64, 5, HW)
     single = _train_and_eval(tmp_path, "single", False, img_dir, gt_dir)
     mesh = _train_and_eval(tmp_path, "mesh8", True, img_dir, gt_dir)
+    print(f"\nsingle-device: {single}\n8-device mesh: {mesh}")
     # both runs learned real detection (untrained H-mean is ~0)
     assert single["hmean"] > 0.6, single
     assert mesh["hmean"] > 0.6, mesh
