@@ -333,6 +333,37 @@ class SyntheticDetectionDataset:
         return out
 
 
+@register
+class MixtureDataset:
+    """Deterministic proportional interleave of several datasets.
+
+    The reference trained on concatenations of dataset sources (SURVEY.md
+    §2.2 lists multiple dataset roots per experiment); this is the typed
+    equivalent: ``parts`` is a list of dataset nodes (YAML ``class:``
+    instantiation recurses into lists), each part contributes all its
+    samples, and indices interleave proportionally (fractional-position
+    merge) so every epoch sees a stable mixture — relative amounts are
+    controlled by each part's own ``n``.
+    """
+
+    def __init__(self, parts: Sequence):
+        self.parts = list(parts)
+        pos = []
+        for k, p in enumerate(self.parts):
+            n = len(p)
+            for j in range(n):
+                pos.append(((j + 0.5) / n, k, j))
+        pos.sort()
+        self._index = [(k, j) for _, k, j in pos]
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, i: int) -> Dict:
+        k, j = self._index[i]
+        return self.parts[k][j]
+
+
 def _overlaps(a: np.ndarray, b: np.ndarray) -> bool:
     ax0, ay0, ax1, ay1 = a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max()
     bx0, by0, bx1, by1 = b[:, 0].min(), b[:, 1].min(), b[:, 0].max(), b[:, 1].max()

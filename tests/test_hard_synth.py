@@ -175,3 +175,22 @@ def test_detection_dataset_curved_polys_present():
             if len(p) > 4:
                 n_curved += 1
     assert n_curved >= 3
+
+
+def test_mixture_dataset_interleaves_proportionally():
+    from megreader_tpu.data.datasets import (
+        MixtureDataset,
+        SyntheticRecognitionDataset,
+    )
+
+    a = HardSyntheticRecognitionDataset(n=12, seed=0)
+    b = SyntheticRecognitionDataset(n=4, seed=1)
+    mix = MixtureDataset([a, b])
+    assert len(mix) == 16
+    # every sample appears exactly once, interleaved (not concatenated)
+    first_half_kinds = [mix._index[i][0] for i in range(8)]
+    assert 0 in first_half_kinds and 1 in first_half_kinds
+    seen = set(mix._index)
+    assert len(seen) == 16
+    item = mix[0]
+    assert {"image", "size", "text"} <= set(item)
