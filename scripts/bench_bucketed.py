@@ -15,6 +15,7 @@ recipe as bench.py/eval_e2e). Run on TPU: python scripts/bench_bucketed.py
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -97,29 +98,93 @@ def main():
     S = 1152
     import cv2
 
-    naive_pages = [cv2.resize(p, (S, S)).astype(np.float32) for p in pages]
-    _ = pipe.predict(det_vars, rec_vars,
-                     jnp.asarray(np.stack(naive_pages[: args.batch])))
+    _ = pipe.predict(det_vars, rec_vars, jnp.asarray(np.stack(
+        [cv2.resize(p, (S, S)).astype(np.float32) for p in pages[: args.batch]]
+    )))
     t0 = time.perf_counter()
     res_n = []
-    for s in range(0, len(naive_pages), args.batch):
-        chunk = naive_pages[s : s + args.batch]
+    # the per-page resize is part of the naive serving cost — time it too
+    for s in range(0, len(pages), args.batch):
+        chunk = [cv2.resize(p, (S, S)).astype(np.float32)
+                 for p in pages[s : s + args.batch]]
+        kept = len(chunk)
         while len(chunk) < args.batch:
             chunk = chunk + [np.zeros((S, S, 3), np.float32)]
         out = pipe.predict(det_vars, rec_vars, jnp.asarray(np.stack(chunk)))
-        res_n.extend(out[: len(naive_pages[s : s + args.batch])])
+        res_n.extend(out[:kept])
     t_naive = time.perf_counter() - t0
 
+    # --- device-side serving throughput (slope-timed inside one jitted
+    # scan, so the axon tunnel's per-call transfer/RTT — which dominates
+    # the host loops above on this dev setup — is excluded) ---
+    from megreader_tpu.ops.precision import cast_floats
+
+    run = pipe.build()
+    bf_d = cast_floats(det_vars, jnp.bfloat16)
+    bf_r = cast_floats(rec_vars, jnp.bfloat16)
+
+    def batch_ms(pages_batch):
+        batch = jnp.asarray(pages_batch)
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop(p, iters):
+            def body(c, _):
+                out = run(bf_d, bf_r, p + c * 1e-6)
+                c2 = (jnp.sum(out["ids"]) + jnp.sum(out["lengths"])).astype(
+                    jnp.float32
+                )
+                return c2 * 1e-9, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return c
+
+        def timed(iters):
+            t0 = time.perf_counter()
+            float(loop(batch, iters))
+            return time.perf_counter() - t0
+
+        timed(2); timed(10)
+        t1 = min(timed(2) for _ in range(3))
+        t2 = min(timed(10) for _ in range(3))
+        return (t2 - t1) / 8 * 1e3
+
+    # one representative real batch per bucket actually used
+    by_bucket = {}
+    for p in pages:
+        b = pick_bucket(p.shape[0], p.shape[1], DEFAULT_BUCKETS)
+        by_bucket.setdefault(b, []).append(p)
+    import math
+
+    dev_total_s, per_bucket_ms = 0.0, {}
+    for b, group in sorted(by_bucket.items()):
+        H, W = b
+        batch_np = np.zeros((args.batch, H, W, 3), np.float32)
+        for j in range(min(args.batch, len(group))):
+            from megreader_tpu.data.bucketing import fit_to_bucket
+
+            batch_np[j] = fit_to_bucket(group[j], b)["image"]
+        ms = batch_ms(batch_np)
+        per_bucket_ms[f"{H}x{W}"] = round(ms, 2)
+        dev_total_s += math.ceil(len(group) / args.batch) * ms / 1e3
+    naive_ms = batch_ms(np.stack(
+        [cv2.resize(p, (S, S)).astype(np.float32) for p in pages[: args.batch]]
+    ))
     n = len(pages)
+    dev_naive_s = math.ceil(n / args.batch) * naive_ms / 1e3
+
     report = {
         "n_pages": n,
         "bucketed": {
-            "pages_per_sec": round(n / t_bucket, 2),
+            "device_pages_per_sec": round(n / dev_total_s, 1),
+            "device_batch_ms": per_bucket_ms,
+            "host_loop_pages_per_sec_tunnel_bound": round(n / t_bucket, 2),
             "compiled_programs": n_programs,
             "recall": recall_of(res_b),
         },
         "naive_1152": {
-            "pages_per_sec": round(n / t_naive, 2),
+            "device_pages_per_sec": round(n / dev_naive_s, 1),
+            "device_batch_ms": {f"{S}x{S}": round(naive_ms, 2)},
+            "host_loop_pages_per_sec_tunnel_bound": round(n / t_naive, 2),
             "compiled_programs": 1,
             "recall": recall_of(res_n),
         },
