@@ -52,7 +52,11 @@ def fit_to_bucket(
 
     H, W = bucket_hw
     h, w = image.shape[:2]
-    s = min(H / h, W / w)
+    # clamp at 1.0: pages smaller than the bucket are padded at native
+    # scale, never magnified — matches pick_bucket's never-upscale policy
+    # (ADVICE r4 #1: the unclamped version upscaled 512-px pages 1.25x
+    # while the docs claimed native scale)
+    s = min(H / h, W / w, 1.0)
     nh, nw = max(1, int(round(h * s))), max(1, int(round(w * s)))
     resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
     canvas = np.zeros((H, W) + image.shape[2:], image.dtype)

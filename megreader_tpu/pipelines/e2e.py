@@ -64,13 +64,18 @@ class E2EPipeline:
         crop_hw=(32, 100),
         box_margin: float = 4.0,
         deskew: bool = False,
-        #: 'perspective' (default) | 'box' | 'deskew'. Perspective is the
-        #: quality path AND within 5% of box throughput (342 vs 359 pages/s
-        #: v5e batch-8): with GT quads the recognizer reads rectified crops
-        #: at 100% on both upright and rotated pages, while GT BOXES read
-        #: 90.1%/44.3% (scripts/diag_rec_domain.py) — axis-aligned crops
-        #: are geometrically lossy by design, not by training.
+        #: 'perspective' (default) | 'box' | 'deskew' | 'chain'. Perspective
+        #: is the straight-text quality path AND within 5% of box throughput
+        #: (342 vs 359 pages/s v5e batch-8): with GT quads the recognizer
+        #: reads rectified crops at 100% on both upright and rotated pages,
+        #: while GT BOXES read 90.1%/44.3% (scripts/diag_rec_domain.py).
+        #: 'chain' is the CURVED-text path (reference polygon mode, SURVEY.md
+        #: §2.5): band chains along each component's principal axis
+        #: (ops/chains.py) drive a piecewise unwarp that straightens curved
+        #: baselines a single homography cannot.
         rectify: str = "perspective",
+        #: bands per region in chain mode (S boundary spine points = S+1)
+        n_bands: int = 8,
         ccl_iters: int = 24,
         ccl_multigrid: bool = False,
         ccl_impl: str = "auto",
@@ -120,6 +125,7 @@ class E2EPipeline:
         #: significantly rotated/perspective text (SURVEY.md §2.6 N5).
         # legacy deskew flag upgrades an unspecified rectify mode only
         self.rectify = "deskew" if (deskew and rectify == "perspective") else rectify
+        self.n_bands = n_bands
         #: CCL sweep cap. Text components converge in <5 sweeps; the cap
         #: bounds worst-case latency on adversarial masks (a hit means a
         #: serpentine component splits into several boxes — benign).
@@ -233,7 +239,44 @@ class E2EPipeline:
             y1 = jnp.clip(jnp.max(quads[..., 1], axis=-1) + m, 1, H)
             boxes = jnp.stack([x0, y0, x1, y1], axis=-1)  # (B, K, 4)
 
-            if self.rectify == "perspective":
+            polygons = None
+            if self.rectify == "chain":
+                from ..ops.chains import (
+                    chain_arc_length,
+                    chains_to_band_quads,
+                    chains_to_polygons,
+                    extract_chains,
+                    resample_width,
+                )
+                from ..ops.image import rectify_quads_mxu
+
+                S = self.n_bands
+                chains = extract_chains(labels, stats, n_bands=S)
+                dm = d + m * 0.5  # unclip + rectify margin, like qm above
+                band_quads = chains_to_band_quads(chains, dm)
+                polygons = chains_to_polygons(chains, d)
+                # piecewise unwarp: each band -> a stretched (Ho, Wb) slice;
+                # shared boundary edges make the reassembled word C0-smooth
+                Wb = max(Wo // S, 8)
+                slices = rectify_quads_mxu(
+                    pages, band_quads.reshape(B, K * S, 4, 2), (Ho, Wb),
+                    crop_hw=(48, 64), aspect="stretch",
+                )  # (B, K*S, Ho, Wb, 3)
+                stretched = (
+                    slices.reshape(B, K, S, Ho, Wb, 3)
+                    .transpose(0, 1, 3, 2, 4, 5)
+                    .reshape(B, K, Ho, S * Wb, 3)
+                )
+                # restore training-crop aspect (height-fit, left-aligned)
+                L = chain_arc_length(chains, dm)  # (B, K)
+                th = 2.0 * (jnp.mean(chains["half_h"], axis=-1) + dm)
+                tw = jnp.clip(
+                    jnp.round(L * Ho / jnp.maximum(th, 1.0)), 2.0, float(Wo)
+                )
+                crops = resample_width(stretched, tw, Wo).reshape(
+                    B * K, Ho, Wo, 3
+                )
+            elif self.rectify == "perspective":
                 from ..ops.image import rectify_quads_mxu
 
                 # margin along the quad's own axes (same role as box_margin)
@@ -256,7 +299,7 @@ class E2EPipeline:
                 crops = crops.astype(jnp.bfloat16)
             ids, lens = self._decode_crops(rec_vars, crops)
             T = ids.shape[1]
-            return {
+            out = {
                 "ids": ids.reshape(B, K, T),
                 "lengths": lens.reshape(B, K),
                 "quads": quads,
@@ -264,6 +307,9 @@ class E2EPipeline:
                 "scores": stats["score"],
                 "valid": valid,
             }
+            if polygons is not None:
+                out["polygons"] = polygons  # (B, K, 2(S+1), 2) chain mode
+            return out
 
         if mesh is None:
             return jax.jit(run)
@@ -288,6 +334,9 @@ class E2EPipeline:
         quads = np.asarray(out["quads"])
         scores = np.asarray(out["scores"])
         valid = np.asarray(out["valid"])
+        polys = (
+            np.asarray(out["polygons"]) if "polygons" in out else None
+        )  # chain mode: full curved outlines instead of quads
         results: List[List[Dict]] = []
         for b in range(ids.shape[0]):
             page = []
@@ -297,7 +346,8 @@ class E2EPipeline:
                 text = self.charset.decode(ids[b, k][: lens[b, k]])
                 page.append(
                     {
-                        "polygon": quads[b, k],
+                        "polygon": polys[b, k] if polys is not None else quads[b, k],
+                        "quad": quads[b, k],
                         "text": text,
                         "score": float(scores[b, k]),
                     }

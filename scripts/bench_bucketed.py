@@ -143,10 +143,12 @@ def main():
             float(loop(batch, iters))
             return time.perf_counter() - t0
 
-        timed(2); timed(10)
-        t1 = min(timed(2) for _ in range(3))
-        t2 = min(timed(10) for _ in range(3))
-        return (t2 - t1) / 8 * 1e3
+        i1, i2 = 2, 10
+        timed(i1); timed(i2)
+        # paired slopes (ADVICE r4: independent min-of-3 per arm lets a
+        # lucky short run pair with an unlucky long run and bias the slope)
+        slopes = [(timed(i2) - timed(i1)) / (i2 - i1) for _ in range(3)]
+        return min(slopes) * 1e3
 
     # one representative real batch per bucket actually used
     by_bucket = {}
@@ -159,15 +161,23 @@ def main():
     for b, group in sorted(by_bucket.items()):
         H, W = b
         batch_np = np.zeros((args.batch, H, W, 3), np.float32)
-        for j in range(min(args.batch, len(group))):
+        # stride through the group so the representative batch spans the
+        # bucket's size mix (ADVICE r4: first-4 picks only the smallest
+        # size, and pl.when-guarded CCL sweeps make runtime content-
+        # dependent)
+        stride = max(1, len(group) // args.batch)
+        sel = group[::stride][: args.batch]
+        for j in range(min(args.batch, len(sel))):
             from megreader_tpu.data.bucketing import fit_to_bucket
 
-            batch_np[j] = fit_to_bucket(group[j], b)["image"]
+            batch_np[j] = fit_to_bucket(sel[j], b)["image"]
         ms = batch_ms(batch_np)
         per_bucket_ms[f"{H}x{W}"] = round(ms, 2)
         dev_total_s += math.ceil(len(group) / args.batch) * ms / 1e3
+    nstride = max(1, len(pages) // args.batch)
     naive_ms = batch_ms(np.stack(
-        [cv2.resize(p, (S, S)).astype(np.float32) for p in pages[: args.batch]]
+        [cv2.resize(p, (S, S)).astype(np.float32)
+         for p in pages[::nstride][: args.batch]]
     ))
     n = len(pages)
     dev_naive_s = math.ceil(n / args.batch) * naive_ms / 1e3

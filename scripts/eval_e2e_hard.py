@@ -39,13 +39,14 @@ def _load(config):
     return exp, variables
 
 
-def eval_set(det, det_vars, rec, rec_vars, cs, ds, crop_hw, n_pages, batch=8):
+def eval_set(det, det_vars, rec, rec_vars, cs, ds, crop_hw, n_pages, batch=8,
+             rectify="perspective"):
     import jax.numpy as jnp
 
     from megreader_tpu.pipelines import E2EPipeline
 
     pipe = E2EPipeline(
-        det, rec, charset=cs, max_regions=16, rectify="perspective",
+        det, rec, charset=cs, max_regions=16, rectify=rectify,
         bf16=True, crop_hw=crop_hw,
     )
     hit = tot = det_hit = 0
@@ -105,23 +106,31 @@ def main():
             max_rotate=0.0, min_height=18, max_height=44, degrade=0.4,
         ),
     }
+    # (config, crop_hw, sets, rectify modes). 'chain' is the curved-text
+    # piecewise unwarp (ops/chains.py) — the page-level test of whether the
+    # crop-level curved wins transfer (VERDICT r4 missing #2).
     arms = {
         "ctc_hard(32x100)": ("experiments/ctc_hard.yaml", (32, 100),
-                             ["hard-mixed", "curved-only"]),
+                             ["hard-mixed", "curved-only"],
+                             ["perspective", "chain"]),
         "ctc_curved(48x160)": ("experiments/ctc_curved_ab.yaml", (48, 160),
-                               ["curved-only"]),
+                               ["curved-only"], ["perspective", "chain"]),
         "ctc2d_curved(48x160)": ("experiments/ctc2d_curved_ab.yaml", (48, 160),
-                                 ["curved-only"]),
+                                 ["curved-only"], ["perspective", "chain"]),
+        "ctc_hard_mix(32x100)": ("experiments/ctc_hard_mix.yaml", (32, 100),
+                                 ["hard-mixed"], ["perspective", "chain"]),
     }
     report = {}
-    for arm, (cfg, crop_hw, set_names) in arms.items():
+    for arm, (cfg, crop_hw, set_names, modes) in arms.items():
         rec_exp, rec_vars = _load(cfg)
         cs = rec_exp.charset
         for sn in set_names:
-            r = eval_set(det, det_vars, rec_exp.model, rec_vars, cs,
-                         sets[sn], crop_hw, args.pages)
-            report[f"{sn}/{arm}"] = r
-            print(f"{sn}/{arm}: {r}", flush=True)
+            for mode in modes:
+                r = eval_set(det, det_vars, rec_exp.model, rec_vars, cs,
+                             sets[sn], crop_hw, args.pages, rectify=mode)
+                key = f"{sn}/{arm}/{mode}"
+                report[key] = r
+                print(f"{key}: {r}", flush=True)
     print(json.dumps({"pages_per_set": args.pages, "results": report}))
 
 
