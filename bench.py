@@ -180,6 +180,38 @@ def _crops_loop_throughput(model_decode, B, k1=4, k2=24, seed=0):
     return B / max(per_batch, 1e-9)
 
 
+def bench_crops_int8():
+    """Config #1 under the int8 serving path (ops/quantize.py): same ingest
+    and greedy CTC decode, every Conv/Dense on the s8xs8->s32 MXU pipe.
+    The recognizer is 0.55 MFU at bf16 — the next 2x is precision
+    (VERDICT r4 task #5); v5e int8 peak is 2x bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from megreader_tpu.models import CTCRecognizer
+    from megreader_tpu.ops.ctc import ctc_greedy_decode
+    from megreader_tpu.ops.image import normalize, resize_with_aspect_pad
+    from megreader_tpu.ops.precision import cast_floats
+    from megreader_tpu.ops.quantize import int8_methods
+
+    B = 512
+    model = CTCRecognizer(num_classes=37)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, 32, 100, 3), jnp.float32)
+    )
+    variables = cast_floats(variables, jnp.bfloat16)
+    apply_q = int8_methods(model.net.apply)
+
+    def decode(canvases, sizes):
+        img, _w = resize_with_aspect_pad(canvases, sizes, (32, 100))
+        img = normalize(img).astype(jnp.bfloat16)
+        logits = apply_q(variables, img, train=False)
+        T = logits.shape[1]
+        return ctc_greedy_decode(logits, jnp.full((B,), T, jnp.int32))
+
+    return _crops_loop_throughput(decode, B)
+
+
 def bench_crops_ctc2d():
     """Judged config #2: batched 2D-CTC decode (markov heights, device
     Viterbi height path) through the same ingest as config #1."""
@@ -229,13 +261,21 @@ def bench_crops_attention_beam(beam_width=8):
     return _crops_loop_throughput(decode, B, k1=2, k2=10)
 
 
-def bench_det_forward(det, det_vars, pages_norm):
-    """Detector prob forward (serving heads) ms/batch + MFU (VERDICT r3 #5)."""
+def bench_det_forward(det, det_vars, pages_norm, int8: bool = False):
+    """Detector prob forward (serving heads) ms/batch + MFU (VERDICT r3 #5).
+    ``int8=True`` times the same program under the int8 interception
+    (VERDICT r4 task #4: the trunk is the MFU ceiling)."""
     import jax
     import jax.numpy as jnp
 
+    apply_fn = det.net.apply
+    if int8:
+        from megreader_tpu.ops.quantize import int8_methods
+
+        apply_fn = int8_methods(det.net.apply)
+
     def fwd(det_vars, x):
-        return det.net.apply(det_vars, x, train=False, heads=("prob",))["prob"]
+        return apply_fn(det_vars, x, train=False, heads=("prob",))["prob"]
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(det_vars, x, iters):
@@ -435,9 +475,32 @@ def bench_pages():
 
     p50_b1, p95_b1 = _latency_percentiles(exec1)
 
-    det_ms, det_mfu = bench_det_forward(
-        det, det_vars, normalize(pages).astype(jnp.bfloat16)
-    )
+    # DEVICE-timed batch-1 latency (VERDICT r4 task #6): the host-timed
+    # percentiles above are tunnel-dominated (~33 ms RTT vs ~1.5 ms of
+    # compute); an on-device scan slope at n=1 gives the driver a real
+    # single-page p50 consistent with det_fwd + postproc + rec.
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop1(det_vars, rec_vars, page, iters):
+        def body(carry, _):
+            out = persp_run(det_vars, rec_vars, page + carry * 1e-6)
+            checksum = (
+                jnp.sum(out["ids"]) + jnp.sum(out["lengths"])
+            ).astype(jnp.float32) + jnp.sum(out["quads"]) * 1e-9
+            return checksum * 1e-9, None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return out
+
+    def timed1(iters):
+        t0 = time.perf_counter()
+        float(loop1(det_vars, rec_vars, page1, iters))
+        return time.perf_counter() - t0
+
+    b1_device_ms = _slope_time(timed1, 4, 24) * 1e3
+
+    pages_bf16 = normalize(pages).astype(jnp.bfloat16)
+    det_ms, det_mfu = bench_det_forward(det, det_vars, pages_bf16)
+    det_ms_int8, _ = bench_det_forward(det, det_vars, pages_bf16, int8=True)
     return {
         "pages_per_sec_exact_postproc": box_pps,
         "pages_per_sec_perspective": persp_pps,
@@ -445,8 +508,10 @@ def bench_pages():
         "e2e_p95_ms_batch8": p95_b8,
         "e2e_p50_ms_batch1": p50_b1,
         "e2e_p95_ms_batch1": p95_b1,
+        "e2e_batch1_device_ms": b1_device_ms,
         "tunnel_rtt_ms": _null_rtt_ms(),
         "det_fwd_ms": det_ms,
+        "det_fwd_ms_int8": det_ms_int8,
         "det_mfu": det_mfu,
         "page_batch_size": B,
         "detector_trained_steps": det_step,
@@ -464,6 +529,7 @@ def main():
         "jax_compilation_cache_dir", os.path.join(REPO, "runs", "jax_cache")
     )
     crops_per_sec, mfu, flops = bench_crops()
+    crops_int8 = bench_crops_int8()
     crops_ctc2d = bench_crops_ctc2d()
     crops_attn_beam = bench_crops_attention_beam()
     pages = bench_pages()
@@ -476,6 +542,9 @@ def main():
         "vs_baseline": round(crops_per_sec / crops_target, 3),
         "mfu": round(mfu, 4) if mfu else None,
         "model_gflops_per_batch": round(flops / 1e9, 2) if flops else None,
+        # int8 serving path (VERDICT r4 task #5); quality gate in
+        # scripts/eval_hard.py --int8
+        "crops_per_sec_int8": round(crops_int8, 1),
         # judged configs #2 and #3 (VERDICT r3 #3)
         "crops_per_sec_ctc2d": round(crops_ctc2d, 1),
         "crops_per_sec_attention_beam": round(crops_attn_beam, 1),
@@ -493,8 +562,11 @@ def main():
         "e2e_p95_ms_batch8": round(pages["e2e_p95_ms_batch8"], 2),
         "e2e_p50_ms_batch1": round(pages["e2e_p50_ms_batch1"], 2),
         "e2e_p95_ms_batch1": round(pages["e2e_p95_ms_batch1"], 2),
+        # on-device single-page latency (scan slope, tunnel cancelled)
+        "e2e_batch1_device_ms": round(pages["e2e_batch1_device_ms"], 2),
         "tunnel_rtt_ms": round(pages["tunnel_rtt_ms"], 2),
         "det_fwd_ms": round(pages["det_fwd_ms"], 2),
+        "det_fwd_ms_int8": round(pages["det_fwd_ms_int8"], 2),
         "det_mfu": round(pages["det_mfu"], 4) if pages["det_mfu"] else None,
         "page_batch_size": pages["page_batch_size"],
         "pages_bench_on_text_pages": True,

@@ -116,12 +116,7 @@ def _dense_int8(mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(out_dt)
 
 
-def int8_methods(
-    fn: Callable, skip_names: FrozenSet[str] = frozenset()
-) -> Callable:
-    """Wrap an ``apply``-style callable so every nn.Conv / nn.Dense inside
-    runs the int8 MXU path. Trace-time rewrite; params stay fp32."""
-
+def _make_interceptor(skip_names: FrozenSet[str]):
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         if context.method_name != "__call__" or mod.name in skip_names:
@@ -132,8 +127,23 @@ def int8_methods(
             return _dense_int8(mod, args[0])
         return next_fun(*args, **kwargs)
 
+    return interceptor
+
+
+def int8_context(skip_names: FrozenSet[str] = frozenset()):
+    """Context manager form: every nn.Conv / nn.Dense traced inside runs
+    the int8 MXU path (for call sites that pick a decode fn dynamically)."""
+    return nn.intercept_methods(_make_interceptor(skip_names))
+
+
+def int8_methods(
+    fn: Callable, skip_names: FrozenSet[str] = frozenset()
+) -> Callable:
+    """Wrap an ``apply``-style callable so every nn.Conv / nn.Dense inside
+    runs the int8 MXU path. Trace-time rewrite; params stay fp32."""
+
     def wrapped(*args, **kwargs):
-        with nn.intercept_methods(interceptor):
+        with int8_context(skip_names):
             return fn(*args, **kwargs)
 
     return wrapped

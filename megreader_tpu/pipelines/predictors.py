@@ -24,11 +24,14 @@ class RecognizerPredictor:
     """Word crops -> strings. Handles CTC / 2D-CTC / attention tasks."""
 
     def __init__(self, model, charset=None, crop_hw=(32, 100), mode: str = "greedy",
-                 beam_width: int = 8):
+                 beam_width: int = 8, int8: bool = False):
         self.model = model
         self.crop_hw = tuple(crop_hw)
         self.mode = mode
         self.beam_width = beam_width
+        #: int8 serving (ops/quantize.py): every Conv/Dense in the decode
+        #: path on the s8xs8->s32 MXU pipe; fp32/bf16 checkpoints unchanged
+        self.int8 = int8
         if charset is None:
             charset = (
                 AttentionCharset()
@@ -43,7 +46,19 @@ class RecognizerPredictor:
         return normalize(img)
 
     def predict(self, variables, canvases, sizes) -> List[str]:
+        from contextlib import nullcontext
+
         img = self._prep(jnp.asarray(canvases, jnp.float32), jnp.asarray(sizes))
+        if self.int8:
+            from ..ops.quantize import int8_context
+
+            ctx = int8_context()
+        else:
+            ctx = nullcontext()
+        with ctx:
+            return self._decode(variables, img)
+
+    def _decode(self, variables, img) -> List[str]:
         if hasattr(self.model, "decode_greedy"):  # attention family
             if self.mode == "beam":
                 ids, lens = self.model.decode_beam(variables, img, beam_width=self.beam_width)

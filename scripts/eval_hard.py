@@ -44,6 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--mode", default="greedy", choices=["greedy", "beam"])
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 serving path (ops/quantize.py) quality gate")
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--seed", type=int, default=4242)
@@ -68,7 +70,8 @@ def main():
     variables = mgr.restore_variables(variables, step=step)
 
     predictor = RecognizerPredictor(
-        exp.model, exp.charset, crop_hw=exp.crop_hw, mode=args.mode
+        exp.model, exp.charset, crop_hw=exp.crop_hw, mode=args.mode,
+        int8=args.int8,
     )
     measurer = RecognitionMeasurer()
 
@@ -83,8 +86,8 @@ def main():
         return measurer.measure(preds, gts)
 
     rows = {}
-    print(f"# hard-tier eval: {args.config} step={step} mode={args.mode} "
-          f"n={args.n}/slice\n")
+    print(f"# hard-tier eval: {args.config} step={step} mode={args.mode}"
+          f"{' int8' if args.int8 else ''} n={args.n}/slice\n")
     print("| condition | accuracy | NED |")
     print("|---|---|---|")
     for name, kw in SLICES.items():
@@ -101,7 +104,7 @@ def main():
     print()
     print(json.dumps({
         "config": os.path.basename(args.config), "step": int(step or 0),
-        "mode": args.mode, "n_per_slice": args.n,
+        "mode": args.mode, "int8": bool(args.int8), "n_per_slice": args.n,
         "slices": {k: {kk: round(float(vv), 4) for kk, vv in v.items()}
                    for k, v in rows.items()},
     }))
