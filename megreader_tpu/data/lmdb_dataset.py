@@ -7,9 +7,10 @@ Layout follows the community convention (as in MJSynth/SynthText LMDBs):
   image-%09d         -> encoded JPEG/PNG bytes
   label-%09d         -> utf-8 transcript
 
-Gated: the ``lmdb`` package is not in this image, so construction raises a
-clear error unless it's importable; everything else (decode-into-canvas,
-device-side resize) matches RecognitionListDataset.
+Backend: the C ``lmdb`` package when importable, otherwise the vendored
+pure-Python read-only parser (``lmdb_lite`` — meta/branch/leaf/overflow
+pages, no dependencies), so the component works and is testable in this
+image (VERDICT r4 task #8).
 """
 
 from __future__ import annotations
@@ -21,24 +22,38 @@ import numpy as np
 from ..core.registry import register
 
 
+class _LmdbBackend:
+    """get(key) -> bytes over either the C library or lmdb_lite."""
+
+    def __init__(self, path: str):
+        try:
+            import lmdb
+
+            self._env = lmdb.open(
+                path, readonly=True, lock=False, readahead=False, meminit=False
+            )
+            self._lite = None
+        except ImportError:
+            from .lmdb_lite import Reader
+
+            self._env = None
+            self._lite = Reader(path)
+
+    def get(self, key: bytes) -> bytes:
+        if self._lite is not None:
+            return self._lite.get(key)
+        with self._env.begin(write=False) as txn:
+            return txn.get(key)
+
+
 @register
 class LMDBRecognitionDataset:
     def __init__(self, path: str, canvas_hw: Tuple[int, int] = (64, 256)):
-        try:
-            import lmdb  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "LMDBRecognitionDataset requires the 'lmdb' package, which is "
-                "not installed in this environment. Use RecognitionListDataset "
-                "or SyntheticRecognitionDataset instead."
-            ) from e
-        import lmdb
-
-        self.env = lmdb.open(
-            path, readonly=True, lock=False, readahead=False, meminit=False
-        )
-        with self.env.begin(write=False) as txn:
-            self.n = int(txn.get(b"num-samples").decode())
+        self.db = _LmdbBackend(path)
+        n = self.db.get(b"num-samples")
+        if n is None:
+            raise ValueError(f"{path}: missing 'num-samples' key")
+        self.n = int(n.decode())
         self.canvas_hw = canvas_hw
 
     def __len__(self):
@@ -47,9 +62,8 @@ class LMDBRecognitionDataset:
     def __getitem__(self, i: int) -> Dict:
         import cv2
 
-        with self.env.begin(write=False) as txn:
-            img_bytes = txn.get(f"image-{i + 1:09d}".encode())
-            label = txn.get(f"label-{i + 1:09d}".encode()).decode()
+        img_bytes = self.db.get(f"image-{i + 1:09d}".encode())
+        label = self.db.get(f"label-{i + 1:09d}".encode()).decode()
         buf = np.frombuffer(img_bytes, np.uint8)
         img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
