@@ -26,10 +26,27 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 
+def _load_ckpt(config):
+    import jax
+
+    from megreader_tpu.experiment import Experiment
+    from megreader_tpu.train import CheckpointManager
+
+    exp = Experiment.from_yaml(config)
+    first = exp.prepare(next(iter(exp.eval_loader or exp.train_loader)))
+    variables = exp.model.init(jax.random.PRNGKey(0), first["image"])
+    variables = CheckpointManager(exp.workspace).restore_variables(variables)
+    return exp, variables
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=96)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hard", action="store_true",
+                    help="run the A/B on HARD pages with hard-trained arms "
+                         "(VERDICT r4 weak #4: the easy-page recall of 1.0000 "
+                         "is saturation, not signal)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +67,9 @@ def main():
     from megreader_tpu.train import CheckpointManager
 
     # A: spotter
-    sp_exp = Experiment.from_yaml("experiments/shared_spotter_synth.yaml")
+    sp_cfg = ("experiments/shared_spotter_hard.yaml" if args.hard
+              else "experiments/shared_spotter_synth.yaml")
+    sp_exp = Experiment.from_yaml(sp_cfg)
     first = sp_exp.prepare(next(iter(sp_exp.eval_loader)))
     sp_vars = sp_exp.model.init(
         jax.random.PRNGKey(0), first["image"], first["rois"]
@@ -61,14 +80,28 @@ def main():
         sp_exp.model, charset=sp_exp.charset, max_regions=16, bf16=True
     )
 
-    # B: crop pipeline (cached easy det+rec, same training distribution)
-    det, det_vars, rec, rec_vars, cs = train_models()
+    # B: crop pipeline — arms from the SAME training distribution as A
+    if args.hard:
+        det_exp, det_vars = _load_ckpt("experiments/seg_detector_hard.yaml")
+        rec_exp, rec_vars = _load_ckpt("experiments/ctc_hard_mix.yaml")
+        det, rec, cs = det_exp.model, rec_exp.model, rec_exp.charset
+    else:
+        det, det_vars, rec, rec_vars, cs = train_models()
     cpipe = E2EPipeline(det, rec, charset=cs, max_regions=16,
                         rectify="perspective", bf16=True)
 
-    ds = SyntheticDetectionDataset(
-        n=args.pages, seed=9500, gt_maps=False, max_rotate=15, max_persp=0.05
-    )
+    if args.hard:
+        from megreader_tpu.data.hard_synth import HardSyntheticDetectionDataset
+
+        ds = HardSyntheticDetectionDataset(
+            n=args.pages, seed=9500, gt_maps=False, curve_prob=0.0,
+            max_rotate=15.0,
+        )
+    else:
+        ds = SyntheticDetectionDataset(
+            n=args.pages, seed=9500, gt_maps=False, max_rotate=15,
+            max_persp=0.05,
+        )
     batches = []
     gt_sets = []
     for s in range(0, args.pages, args.batch):
@@ -130,6 +163,7 @@ def main():
     cp_pps = throughput(crun, (bf_d, bf_r))
 
     print(json.dumps({
+        "tier": "hard" if args.hard else "easy",
         "pages": args.pages, "total_words": total, "batch": args.batch,
         "spotter": {"pages_per_sec": round(sp_pps, 1), "e2e_recall": sp_recall},
         "crop_pipeline": {"pages_per_sec": round(cp_pps, 1),
