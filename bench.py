@@ -459,6 +459,10 @@ def bench_pages():
 
     box_pps, _ = measure("box")
     persp_pps, persp_run = measure("perspective")
+    # curved-text mode: band-chain piecewise unwarp (ops/chains.py) — the
+    # polygon-output path; its cost vs perspective is the price of curved
+    # pages surviving the pipeline
+    chain_pps, _ = measure("chain")
 
     # TRUE latency percentiles on the DEFAULT (perspective) program:
     # batch 8 and a separately compiled batch-1 single-page program
@@ -504,6 +508,7 @@ def bench_pages():
     return {
         "pages_per_sec_exact_postproc": box_pps,
         "pages_per_sec_perspective": persp_pps,
+        "pages_per_sec_chain": chain_pps,
         "e2e_p50_ms_batch8": p50_b8,
         "e2e_p95_ms_batch8": p95_b8,
         "e2e_p50_ms_batch1": p50_b1,
@@ -554,6 +559,8 @@ def main():
         "pages_per_sec_perspective": round(
             pages["pages_per_sec_perspective"], 2
         ),
+        # curved-text (polygon/chain) mode — quality path for curved pages
+        "pages_per_sec_chain": round(pages["pages_per_sec_chain"], 2),
         # headline tracks the DEFAULT pipeline mode (perspective)
         "pages_vs_target_100": round(
             pages["pages_per_sec_perspective"] / pages_target, 3
