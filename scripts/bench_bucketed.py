@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--pages-per-size", type=int, default=24)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--max-regions", type=int, default=48)
+    ap.add_argument("--hard", action="store_true",
+                    help="mixed-size HARD pages with hard-trained arms "
+                         "(VERDICT r4 #1: the easy-page recall table is "
+                         "saturated; re-base the bucketed quality axis)")
     args = ap.parse_args()
 
     import jax
@@ -47,15 +51,34 @@ def main():
     from megreader_tpu.data.bucketing import DEFAULT_BUCKETS, pick_bucket
     from megreader_tpu.pipelines import BucketedE2E, E2EPipeline
 
-    det, det_vars, rec, rec_vars, cs = train_models()
+    if args.hard:
+        from bench_spotter import _load_ckpt
+
+        det_exp, det_vars = _load_ckpt("experiments/seg_detector_hard.yaml")
+        rec_exp, rec_vars = _load_ckpt("experiments/ctc_hard_mix.yaml")
+        det, rec, cs = det_exp.model, rec_exp.model, rec_exp.charset
+    else:
+        det, det_vars, rec, rec_vars, cs = train_models()
 
     sizes = [(512, 512), (640, 640), (896, 896), (1152, 1152)]
     pages, gts, page_size = [], [], []
     for si, hw in enumerate(sizes):
-        ds = SyntheticDetectionDataset(
-            n=args.pages_per_size, hw=hw, seed=7000 + si, gt_maps=False,
-            max_rotate=15, max_persp=0.05,
-        )
+        if args.hard:
+            from megreader_tpu.data.hard_synth import (
+                HardSyntheticDetectionDataset,
+            )
+
+            # curve_prob=0 to match the spotter A/B: the bucketing question
+            # is size handling, and curves would depress both arms equally
+            ds = HardSyntheticDetectionDataset(
+                n=args.pages_per_size, hw=hw, seed=7000 + si, gt_maps=False,
+                curve_prob=0.0, max_rotate=15.0,
+            )
+        else:
+            ds = SyntheticDetectionDataset(
+                n=args.pages_per_size, hw=hw, seed=7000 + si, gt_maps=False,
+                max_rotate=15, max_persp=0.05,
+            )
         for i in range(args.pages_per_size):
             it = ds[i]
             pages.append(it["image"].astype(np.float32))
@@ -183,6 +206,7 @@ def main():
     dev_naive_s = math.ceil(n / args.batch) * naive_ms / 1e3
 
     report = {
+        "tier": "hard" if args.hard else "easy",
         "n_pages": n,
         "bucketed": {
             "device_pages_per_sec": round(n / dev_total_s, 1),

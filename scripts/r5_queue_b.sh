@@ -18,6 +18,10 @@ timeout 2400 python bench.py 2>&1 | tail -3 | tee runs/r5/bench_r5.log
 timeout 1800 python scripts/bench_bucketed.py \
   2>&1 | grep -v WARNING | tee runs/r5/bench_bucketed_r5.log
 
+# 3b. bucketed quality axis re-based onto HARD pages (VERDICT r4 #1)
+timeout 1800 python scripts/bench_bucketed.py --hard \
+  2>&1 | grep -v WARNING | tee runs/r5/bench_bucketed_hard.log
+
 # 4. hard-page spotter quality A/B (weak #4): train the hard spotter twin,
 #    then run the A/B against the hard det + mixture rec
 timeout 4200 python cli/train.py experiments/shared_spotter_hard.yaml \
