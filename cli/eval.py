@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--mode", default="greedy", choices=["greedy", "beam"])
     ap.add_argument("--protocol", default="icdar2015", choices=["icdar2015", "deteval"])
+    ap.add_argument("--representer", default="quad", choices=["quad", "poly"],
+                    help="detection output mode: min-area quads or chain "
+                         "polygons (curved text; reference contour mode)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 serving path (ops/quantize.py) quality gate "
+                         "for the detection trunk")
     args, rest = ap.parse_known_args()
 
     import jax
@@ -38,7 +44,8 @@ def main():
     step = args.step if args.step is not None else mgr.latest_step()
     variables = mgr.restore_variables(variables, step=step)
 
-    metrics = evaluate(exp, variables, mode=args.mode, protocol=args.protocol)
+    metrics = evaluate(exp, variables, mode=args.mode, protocol=args.protocol,
+                       representer_mode=args.representer, int8=args.int8)
     print(json.dumps({"step": int(step or 0), **metrics}))
 
 

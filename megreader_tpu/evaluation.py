@@ -35,6 +35,7 @@ def evaluate_detection(
     variables,
     representer: Optional[SegDetectorRepresenter] = None,
     protocol: str = "icdar2015",  # or 'deteval'
+    int8: bool = False,
 ) -> Dict[str, float]:
     import jax
 
@@ -42,8 +43,15 @@ def evaluate_detection(
 
     representer = representer or SegDetectorRepresenter()
     measurer = DetEvalMeasurer() if protocol == "deteval" else DetectionMeasurer()
+    apply_fn = exp.model.net.apply
+    if int8:
+        # quality gate for the int8 serving trunk (ops/quantize.py) —
+        # pairs with bench.py's det_fwd_ms_int8 timing
+        from .ops.quantize import int8_methods
+
+        apply_fn = int8_methods(apply_fn)
     forward = jax.jit(
-        lambda v, x: exp.model.net.apply(v, x, train=False, heads=("prob",))["prob"]
+        lambda v, x: apply_fn(v, x, train=False, heads=("prob",))["prob"]
     )
     raws = []
     assert exp.eval_loader is not None, "experiment has no eval dataset"
@@ -91,10 +99,21 @@ def evaluate_spotting(exp: Experiment, variables) -> Dict[str, float]:
 
 
 def evaluate(
-    exp: Experiment, variables, mode: str = "greedy", protocol: str = "icdar2015"
+    exp: Experiment,
+    variables,
+    mode: str = "greedy",
+    protocol: str = "icdar2015",
+    representer_mode: str = "quad",
+    int8: bool = False,
 ) -> Dict[str, float]:
     if exp.task in ("CTCRecognizer", "Ctc2dRecognizer", "AttentionRecognizer"):
         return evaluate_recognition(exp, variables, mode=mode)
     if exp.task in ("RoITextSpotter", "SharedTrunkSpotter"):
         return evaluate_spotting(exp, variables)
-    return evaluate_detection(exp, variables, protocol=protocol)
+    return evaluate_detection(
+        exp,
+        variables,
+        representer=SegDetectorRepresenter(mode=representer_mode),
+        protocol=protocol,
+        int8=int8,
+    )

@@ -7,6 +7,19 @@ set -x
 cd /root/repo
 mkdir -p runs/r5
 
+# 0. hard-page detector P/R/H-mean, quad vs chain-polygon representer
+#    (VERDICT r4 task #1 wants detector P/R/H-mean on hard pages; the poly
+#    arm scores the curved-text representer of task #2 on chain-polygon GT)
+timeout 1200 python cli/eval.py experiments/seg_detector_hard.yaml \
+  2>&1 | grep -v WARNING | tee runs/r5/eval_det_hard_quad.log
+timeout 1200 python cli/eval.py experiments/seg_detector_hard.yaml --representer poly \
+  2>&1 | grep -v WARNING | tee runs/r5/eval_det_hard_poly.log
+
+# 0b. int8 quality gate for the DETECTION trunk (pairs with bench.py's
+#     det_fwd_ms_int8 timing; VERDICT r4 task #4)
+timeout 1200 python cli/eval.py experiments/seg_detector_hard.yaml --int8 \
+  2>&1 | grep -v WARNING | tee runs/r5/eval_det_hard_int8.log
+
 # 1. int8 quality gate on the generalist recognizer (VERDICT r4 task #5)
 timeout 1800 python scripts/eval_hard.py experiments/ctc_hard_mix.yaml --int8 \
   2>&1 | grep -v WARNING | tee runs/r5/eval_hard_mix_int8.log

@@ -85,6 +85,36 @@ def test_detection_experiment_wiring(tmp_path):
     assert p["gt"].shape == (2, 64, 64)
 
 
+def test_detection_eval_modes(tmp_path):
+    """evaluate() plumbs representer_mode='poly' (chain polygons) and the
+    int8 serving gate through to evaluate_detection — the cli/eval.py
+    --representer/--int8 flags ride this path."""
+    exp = Experiment.from_yaml(
+        os.path.join(REPO, "experiments/seg_detector_synth.yaml"),
+        {
+            "experiment.batch_size": 2,
+            "experiment.workspace": str(tmp_path),
+            "experiment.train_dataset.n": 2,
+            "experiment.train_dataset.hw": [64, 64],
+            "experiment.eval_dataset.n": 2,
+            "experiment.eval_dataset.hw": [64, 64],
+            "experiment.model.fpn_dim": 16,
+            "experiment.model.head_dim": 4,
+            "experiment.model.width": 16,
+        },
+    )
+    import jax
+
+    from megreader_tpu.evaluation import evaluate
+
+    first = exp.prepare(next(iter(exp.eval_loader)))
+    variables = exp.model.init(jax.random.PRNGKey(0), first["image"])
+    for kw in ({"representer_mode": "poly"}, {"int8": True}):
+        metrics = evaluate(exp, variables, **kw)
+        assert set(metrics) >= {"precision", "recall", "hmean"}, kw
+        assert all(0.0 <= metrics[k] <= 1.0 for k in ("precision", "recall", "hmean"))
+
+
 def test_resume_continues_training(tmp_path):
     """Train, stop, resume: step counter and params continue, not restart."""
     overrides = {
