@@ -37,7 +37,7 @@ timeout 1800 python scripts/bench_bucketed.py --hard \
 
 # 4. hard-page spotter quality A/B (weak #4): train the hard spotter twin,
 #    then run the A/B against the hard det + mixture rec
-timeout 4200 python cli/train.py experiments/shared_spotter_hard.yaml \
+timeout 6000 python cli/train.py experiments/shared_spotter_hard.yaml \
   2>&1 | grep -v WARNING | tail -20 > runs/r5/train_spotter_hard.log
 timeout 1800 python scripts/bench_spotter.py --hard \
   2>&1 | grep -v WARNING | tee runs/r5/bench_spotter_hard.log
