@@ -318,6 +318,74 @@ def _perspective_two_pass(crops: jnp.ndarray, Hmats: jnp.ndarray, out_hw) -> jnp
     return out * inside[..., None]
 
 
+def _bilinear_two_pass(crops: jnp.ndarray, qcs: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Ruled-surface (bilinear patch) rectification of small crops.
+
+    crops: (K, Hc, Wc, C); qcs: (K, 4, 2) corners TL TR BR BL in crop
+    coords; returns (K, Ho, Wo, C). Output pixel (x, y) samples the patch
+    P(X, Y) = TL(1-X)(1-Y) + TR X(1-Y) + BL(1-X)Y + BR XY with
+    X = x/(Wo-1), Y = y/(Ho-1) — corners to corners, edges linearly.
+
+    Why this exists next to ``_perspective_two_pass``: a homography
+    through the same 4 corners does NOT take edge midpoints to edge
+    midpoints. Curved-text band quads are strongly trapezoidal (the outer
+    edge of a curved band is ~2x the inner edge once half-height includes
+    the shrink-inverse unclip), and the projective map pulls content
+    toward the longer edge — measured ~7 rows of spine sag out of 48 at
+    curvature radius ~2x text height, which garbled every chain-mode crop
+    (round-5 hard-page eval: chain 0.015 vs perspective 0.847 e2e recall).
+    The bilinear map keeps the spine (the chord of edge midpoints) exactly
+    on the output midline and is exactly C0 across shared band edges —
+    adjacent bands map the shared edge by the same linear interpolation.
+    Same two-pass tent-contraction structure (batched MXU matmuls, zero
+    gathers): pass 1 solves u(X, Y) = j for X — u is linear in X at fixed
+    Y, so X = (j - a0 - a2 Y)/(a1 + a3 Y), the same ratio-of-linears shape
+    the homography pass solves.
+    """
+    K, Hc, Wc, C = crops.shape
+    Ho, Wo = out_hw
+    TL, TR, BR, BL = qcs[:, 0], qcs[:, 1], qcs[:, 2], qcs[:, 3]
+    a = jnp.stack([TL, TR - TL, BL - TL, TL - TR - BL + BR], axis=1)  # (K,4,2)
+    au, av = a[..., 0], a[..., 1]  # (K, 4) coeffs: 1, X, Y, XY
+
+    def bc(t):  # (K,) -> (K, 1, 1)
+        return t[:, None, None]
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (K, Ho, 1), 1)
+    Y = ys / max(Ho - 1, 1)
+    js = jax.lax.broadcasted_iota(jnp.float32, (K, 1, Wc), 2)
+
+    denom = bc(au[:, 1]) + bc(au[:, 3]) * Y  # du/dX at this Y
+    denom = jnp.where(jnp.abs(denom) < 1e-6, jnp.sign(denom) * 1e-6 + 1e-12, denom)
+    X_at = (js - bc(au[:, 0]) - bc(au[:, 2]) * Y) / denom  # (K, Ho, Wc)
+    v_star = (
+        bc(av[:, 0]) + bc(av[:, 1]) * X_at + bc(av[:, 2]) * Y
+        + bc(av[:, 3]) * X_at * Y
+    )
+    iy = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, Hc), 3)
+    v_cl = jnp.clip(v_star, 0.0, Hc - 1.0)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(v_cl[..., None] - iy))
+    tmp = jnp.einsum("kowi,kiwc->kowc", Wy, crops)  # (K, Ho, Wc, C)
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (K, Ho, Wo), 2)
+    X = xs / max(Wo - 1, 1)
+    yo = jax.lax.broadcasted_iota(jnp.float32, (K, Ho, Wo), 1)
+    Yo = yo / max(Ho - 1, 1)
+    u = bc(au[:, 0]) + bc(au[:, 1]) * X + bc(au[:, 2]) * Yo + bc(au[:, 3]) * X * Yo
+    v_full = (
+        bc(av[:, 0]) + bc(av[:, 1]) * X + bc(av[:, 2]) * Yo + bc(av[:, 3]) * X * Yo
+    )
+    ix = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, Wc), 3)
+    u_cl = jnp.clip(u, 0.0, Wc - 1.0)
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_cl[..., None] - ix))
+    out = jnp.einsum("koxj,kojc->koxc", Wx, tmp)
+
+    inside = (
+        (u >= -0.5) & (u <= Wc - 0.5) & (v_full >= -0.5) & (v_full <= Hc - 0.5)
+    )
+    return out * inside[..., None]
+
+
 def perspective_matrix_from_quad_w(
     quad: jnp.ndarray, out_h: int, out_w
 ) -> jnp.ndarray:
@@ -349,7 +417,9 @@ def perspective_matrix_from_quad_w(
     return jnp.concatenate([h, jnp.ones((1,), jnp.float32)]).reshape(3, 3)
 
 
-@partial(jax.jit, static_argnames=("out_hw", "crop_hw", "chunk", "aspect"))
+@partial(
+    jax.jit, static_argnames=("out_hw", "crop_hw", "chunk", "aspect", "warp")
+)
 def rectify_quads_mxu(
     images: jnp.ndarray,
     quads: jnp.ndarray,
@@ -357,6 +427,7 @@ def rectify_quads_mxu(
     crop_hw: Tuple[int, int] = (48, 160),
     chunk: int = 32,
     aspect: str = "stretch",
+    warp: str = "perspective",
 ) -> jnp.ndarray:
     """Perspective-rectify word quads on the MXU path (no gathers).
 
@@ -371,6 +442,11 @@ def rectify_quads_mxu(
 
     ``lax.map`` over chunks of crops bounds the (chunk, Ho, Wc, Hc) tent
     tensors (~8 MB at defaults).
+
+    ``warp``: 'perspective' (default — exact homography, word quads) or
+    'bilinear' (ruled surface through the same corners — REQUIRED for
+    curved-text band quads, where the trapezoid homography sags the spine
+    toward the longer edge; see ``_bilinear_two_pass``).
     """
     B, K = quads.shape[:2]
     H, W = images.shape[1], images.shape[2]
@@ -393,6 +469,30 @@ def rectify_quads_mxu(
     qc = jnp.stack([qc_x, qc_y], axis=-1).reshape(B * K, 4, 2)
 
     Ho, Wo = out_hw
+    flat = crops.reshape(B * K, Hc, Wc, crops.shape[-1])
+    n = B * K
+    pad = (-n) % chunk
+
+    if warp == "bilinear":
+        # ruled-surface band unwarp (chain mode): midpoint-preserving, C0
+        # across shared band edges — see _bilinear_two_pass
+        if aspect == "preserve_h":
+            raise ValueError("warp='bilinear' supports aspect='stretch' only")
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            unit = jnp.asarray(
+                [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]], jnp.float32
+            )
+            qc = jnp.concatenate([qc, jnp.tile(unit[None], (pad, 1, 1))], axis=0)
+        flat = flat.reshape(-1, chunk, Hc, Wc, crops.shape[-1])
+        qcs = qc.reshape(-1, chunk, 4, 2)
+        out = jax.lax.map(
+            lambda args: _bilinear_two_pass(args[0], args[1], out_hw),
+            (flat, qcs),
+        )
+        out = out.reshape(-1, *out.shape[2:])[: B * K]
+        return out.reshape(B, K, Ho, Wo, crops.shape[-1])
+
     if aspect == "preserve_h":
         # Per-quad target width from quad geometry (mean edge lengths) so
         # crops stay undistorted and left-aligned like training crops.
@@ -409,10 +509,7 @@ def rectify_quads_mxu(
     else:
         out_w = jnp.full((B * K,), float(Wo))
         Hmats = jax.vmap(lambda q: perspective_matrix_from_quad(q, out_hw))(qc)
-    flat = crops.reshape(B * K, Hc, Wc, crops.shape[-1])
 
-    n = B * K
-    pad = (-n) % chunk
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
         Hmats = jnp.concatenate(

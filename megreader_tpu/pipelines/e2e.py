@@ -258,9 +258,14 @@ class E2EPipeline:
                 # piecewise unwarp: each band -> a stretched (Ho, Wb) slice;
                 # shared boundary edges make the reassembled word C0-smooth
                 Wb = max(Wo // S, 8)
+                # warp='bilinear': band quads are trapezoids on curves (the
+                # outer edge is ~2x the inner once unclip inflates half_h);
+                # a homography sags the spine toward the long edge (~7/48
+                # rows measured), garbling every curved crop — the ruled
+                # map keeps the spine on the output midline (round-5 fix)
                 slices = rectify_quads_mxu(
                     pages, band_quads.reshape(B, K * S, 4, 2), (Ho, Wb),
-                    crop_hw=(48, 64), aspect="stretch",
+                    crop_hw=(48, 64), aspect="stretch", warp="bilinear",
                 )  # (B, K*S, Ho, Wb, 3)
                 stretched = (
                     slices.reshape(B, K, S, Ho, Wb, 3)

@@ -121,7 +121,7 @@ def test_chain_unwarp_straightens_curved_strip():
     Wb = max(Wo // S, 8)
     slices = rectify_quads_mxu(
         img3, bq.reshape(1, 4 * S, 4, 2), (Ho, Wb), crop_hw=(48, 64),
-        aspect="stretch",
+        aspect="stretch", warp="bilinear",
     )
     stretched = (
         slices.reshape(1, 4, S, Ho, Wb, 3)
@@ -156,6 +156,47 @@ def test_chain_unwarp_straightens_curved_strip():
     # the chain unwarp straightens the sine; the homography cannot
     assert chain_std < 1.5, (chain_std, quad_std)
     assert quad_std > 3.0, (chain_std, quad_std)
+
+
+def test_band_unwarp_keeps_spine_centered_under_unclip():
+    """Round-5 regression: with a LARGE unclip (the shrink-inverse d ~
+    2.5x the kernel half-height, the real serving regime), band quads on a
+    curve are strongly trapezoidal, and the perspective map through the
+    same corners pulls content toward the longer (outer) edge — the spine
+    sagged to rows 31-34 of 48 instead of ~24, garbling every chain crop
+    (hard-page e2e: chain 0.015 vs perspective 0.847 before the fix). The
+    ruled/bilinear map must keep a painted spine line on the output
+    midline of EVERY band."""
+    from megreader_tpu.ops.image import rectify_quads_mxu
+
+    H, W = 320, 320
+    img = np.zeros((H, W), np.float32)
+    page = np.zeros((H, W, 3), np.float32)
+    xs = np.arange(110, 200)
+    for x in xs:
+        yc = 200 + 14 * np.sin((x - 110) / 90 * np.pi)
+        img[int(yc) - 7 : int(yc) + 7, x] = 1.0
+        page[int(yc), x, :] = 255.0  # the spine line
+
+    m = jnp.asarray(img[None] > 0.5)
+    labels = connected_components(m, max_iters=32)
+    stats = extract_regions(labels, m.astype(jnp.float32), max_regions=4)
+    S = 8
+    chains = extract_chains(labels, stats, n_bands=S)
+    bq = chains_to_band_quads(chains, jnp.full((1, 4), 20.0))
+    Ho, Wb = 48, 20
+    sl = rectify_quads_mxu(
+        jnp.asarray(page[None]), bq.reshape(1, 4 * S, 4, 2), (Ho, Wb),
+        crop_hw=(48, 64), aspect="stretch", warp="bilinear",
+    )
+    sl = np.asarray(sl).reshape(4, S, Ho, Wb, 3)
+    for s in range(1, S - 1):  # end bands are tangent-extended past the ink
+        band = sl[0, s].min(axis=-1)  # white line only
+        cols = band.max(axis=0) > 64.0
+        assert cols.any(), f"band {s}: spine line not sampled"
+        rows = band.argmax(axis=0)[cols]
+        # homography sag was +7..10 rows; ruled map must stay ~centered
+        assert np.all(np.abs(rows - (Ho - 1) / 2) <= 3.0), (s, rows)
 
 
 def test_detect_polygons_device_and_representer():
