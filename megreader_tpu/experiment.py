@@ -271,6 +271,11 @@ class Experiment:
 
     @staticmethod
     def from_yaml(path: str, overrides: Optional[Dict[str, Any]] = None) -> "Experiment":
+        # Self-register the component catalog: scripts that import a helper
+        # (e.g. bench_spotter._load_ckpt) without going through a CLI entry
+        # would otherwise hit "unknown component" on the first class: node.
+        from . import all as _all  # noqa: F401  (idempotent registry fill)
+
         graph = Config.build(path, overrides)
         exp = graph.get("experiment") if isinstance(graph, dict) else graph
         if not isinstance(exp, Experiment):
