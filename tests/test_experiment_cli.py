@@ -148,3 +148,26 @@ def test_resume_continues_training(tmp_path):
     # re-invoking with the same budget is a no-op (cached-harness semantics)
     s3 = exp2.make_trainer().train(resume=True)
     assert int(s3.step) == 4
+
+
+def test_from_yaml_self_registers_in_fresh_process():
+    """Regression: scripts that call Experiment.from_yaml without going
+    through a CLI entry (bench_bucketed's _load path) must not hit
+    "unknown component" — from_yaml self-registers the catalog. Run in a
+    fresh interpreter so this module's `import megreader_tpu.all` can't
+    mask the bug."""
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "from megreader_tpu.experiment import Experiment;"
+        "e = Experiment.from_yaml("
+        f"'{os.path.join(REPO, 'experiments/ctc_resnet18_synth.yaml')}',"
+        "{'experiment.train_dataset.n': 8, 'experiment.eval_dataset.n': 8});"
+        "print('OK', e.task)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, capture_output=True,
+        text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK CTCRecognizer" in out.stdout
