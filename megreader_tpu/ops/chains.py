@@ -164,6 +164,48 @@ def extract_chains(
     )
 
 
+def _resample_polyline(
+    pts: jnp.ndarray, hh: jnp.ndarray, m: int
+) -> tuple:
+    """Re-sample a polyline (..., Q, 2) + per-point scalars (..., Q) to
+    ``m`` points UNIFORM in arc length. Pure comparisons + one small
+    matmul (no gathers): build the (..., m, Q) linear-interp weight matrix
+    from per-target segment membership."""
+    seg = jnp.maximum(
+        jnp.linalg.norm(pts[..., 1:, :] - pts[..., :-1, :], axis=-1), 1e-6
+    )  # (..., Q-1)
+    q1 = seg.shape[-1]
+    cum = jnp.concatenate(
+        [jnp.zeros_like(seg[..., :1]), jnp.cumsum(seg, axis=-1)], axis=-1
+    )  # (..., Q)
+    total = cum[..., -1:]
+    a = total * (
+        jnp.arange(m, dtype=pts.dtype) / (m - 1)
+    )[(None,) * (pts.ndim - 2)]  # (..., m)
+    lo = cum[..., None, :-1]  # (..., 1, Q-1)
+    hi = cum[..., None, 1:]
+    av = a[..., :, None]  # (..., m, 1)
+    inside = (av >= lo) & (av < hi)  # (..., m, Q-1)
+    # the a == total endpoint falls in no half-open segment: assign it
+    # (and any fp stragglers) to the last segment
+    none = ~jnp.any(inside, axis=-1, keepdims=True)
+    last = (
+        jax.lax.broadcasted_iota(jnp.int32, inside.shape, inside.ndim - 1)
+        == q1 - 1
+    )
+    inside = inside | (none & last)
+    frac = jnp.clip((av - lo) / seg[..., None, :], 0.0, 1.0)
+    w_lo = jnp.where(inside, 1.0 - frac, 0.0)  # weight on segment start
+    w_hi = jnp.where(inside, frac, 0.0)  # weight on segment end
+    zero = jnp.zeros_like(w_lo[..., :1])
+    W = jnp.concatenate([w_lo, zero], axis=-1) + jnp.concatenate(
+        [zero, w_hi], axis=-1
+    )  # (..., m, Q)
+    pts_u = jnp.einsum("...mq,...qc->...mc", W, pts)
+    hh_u = jnp.einsum("...mq,...q->...m", W, hh)
+    return pts_u, hh_u
+
+
 def chains_to_band_quads(
     chains: Dict[str, jnp.ndarray], unclip_distance: jnp.ndarray = None
 ) -> jnp.ndarray:
@@ -172,24 +214,49 @@ def chains_to_band_quads(
     ``unclip_distance`` (B, K): outward offset along local normals (the
     same training-shrink inverse used for quads) plus a tangential end
     extension — the chain analog of rectangle unclip.
+
+    The extended spine is re-sampled so every band covers the SAME arc
+    length (round-5 fix): the first formulation kept the original band
+    boundaries and pushed only the endpoints out by ``d``, so the first
+    and last bands covered ``bw + d`` of arc while inner bands covered
+    ``bw`` — and the downstream piecewise unwarp stretches every band to
+    the same output width, horizontally compressing the first/last
+    characters 2-4x on short words (measured: every chain crop misread
+    its end letters; mixed-page chain e2e 0.49 vs 0.89 perspective).
+    Uniform-arc bands make the constant-width stretch metrically correct.
     """
     pts = chains["points"]  # (B, K, S+1, 2)
     hh = chains["half_h"]  # (B, K, S+1)
-    nrm = chains["normal"]
     tang = chains["tangent"]
+    P = pts.shape[-2]
     if unclip_distance is not None:
         d = unclip_distance[..., None]  # (B, K, 1)
-        hh = hh + d
-        # extend both chain ends by d along the local tangent
-        ends = jnp.concatenate(
+        # extended spine: endpoints pushed out by d along the end tangents
+        pts_e = jnp.concatenate(
             [
                 pts[..., :1, :] - tang[..., :1, :] * d[..., None],
-                pts[..., 1:-1, :],
+                pts,
                 pts[..., -1:, :] + tang[..., -1:, :] * d[..., None],
             ],
             axis=-2,
+        )  # (B, K, S+3, 2)
+        hh_e = (
+            jnp.concatenate([hh[..., :1], hh, hh[..., -1:]], axis=-1) + d
         )
-        pts = ends
+        pts, hh = _resample_polyline(pts_e, hh_e, P)
+    # tangents/normals from the (re-sampled) polyline
+    d_in = pts[..., 1:, :] - pts[..., :-1, :]
+    tang = jnp.concatenate(
+        [
+            d_in[..., :1, :],
+            0.5 * (d_in[..., :-1, :] + d_in[..., 1:, :]),
+            d_in[..., -1:, :],
+        ],
+        axis=-2,
+    )
+    tlen = jnp.maximum(jnp.linalg.norm(tang, axis=-1, keepdims=True), 1e-6)
+    tang = tang / tlen
+    nrm = jnp.stack([-tang[..., 1], tang[..., 0]], axis=-1)
     top = pts - nrm * hh[..., None]  # (B, K, S+1, 2)
     bot = pts + nrm * hh[..., None]
     return jnp.stack(

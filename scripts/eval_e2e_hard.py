@@ -83,6 +83,10 @@ def eval_set(det, det_vars, rec, rec_vars, cs, ds, crop_hw, n_pages, batch=8,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=96)
+    ap.add_argument("--modes", default=None,
+                    help="comma list: restrict rectify modes (e.g. 'chain')")
+    ap.add_argument("--arms", default=None,
+                    help="comma substring list: restrict arms by name")
     args = ap.parse_args()
 
     import jax
@@ -120,8 +124,19 @@ def main():
         "ctc_hard_mix(32x100)": ("experiments/ctc_hard_mix.yaml", (32, 100),
                                  ["hard-mixed"], ["perspective", "chain"]),
     }
+    if args.arms:
+        subs = args.arms.split(",")
+        arms = {a: v for a, v in arms.items() if any(s in a for s in subs)}
+    if args.modes:
+        keep = set(args.modes.split(","))
+        arms = {
+            a: (cfg, hw, sn, [m for m in md if m in keep])
+            for a, (cfg, hw, sn, md) in arms.items()
+        }
     report = {}
     for arm, (cfg, crop_hw, set_names, modes) in arms.items():
+        if not modes:
+            continue
         rec_exp, rec_vars = _load(cfg)
         cs = rec_exp.charset
         for sn in set_names:

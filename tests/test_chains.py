@@ -199,6 +199,34 @@ def test_band_unwarp_keeps_spine_centered_under_unclip():
         assert np.all(np.abs(rows - (Ho - 1) / 2) <= 3.0), (s, rows)
 
 
+def test_band_quads_uniform_arc_under_unclip():
+    """Round-5 regression: with a large unclip d, the tangential end
+    extension must be SPREAD over all bands (uniform arc length per band),
+    not concentrated in the first/last band — the downstream unwarp
+    stretches every band to the same output width, so unequal band arcs
+    horizontally compress the word's first/last characters (measured:
+    chain e2e 0.49 vs 0.89 perspective on mixed hard pages, end letters
+    misread on nearly every short word)."""
+    mask, _ = sine_band_mask()
+    stats, chains = _run_chains(mask, n_bands=8)
+    d = 20.0
+    bq = np.asarray(chains_to_band_quads(chains, jnp.full((1, 4), d)))[0, 0]
+    # band spine arc = distance between consecutive top/bottom edge
+    # midpoints (corners TL TR BR BL)
+    mid_left = 0.5 * (bq[:, 0] + bq[:, 3])  # (S, 2)
+    mid_right = 0.5 * (bq[:, 1] + bq[:, 2])
+    arcs = np.linalg.norm(mid_right - mid_left, axis=-1)
+    assert arcs.std() / arcs.mean() < 0.05, arcs
+    # total arc still covers the extended spine (original + 2d)
+    L0 = float(np.asarray(chain_arc_length(chains))[0, 0])
+    assert abs(arcs.sum() - (L0 + 2 * d)) < 0.05 * (L0 + 2 * d), (
+        arcs.sum(), L0 + 2 * d,
+    )
+    # C0 continuity preserved through the re-sampled spine
+    np.testing.assert_allclose(bq[:-1, 1], bq[1:, 0], atol=1e-3)
+    np.testing.assert_allclose(bq[:-1, 2], bq[1:, 3], atol=1e-3)
+
+
 def test_detect_polygons_device_and_representer():
     from megreader_tpu.postproc.detection import (
         SegDetectorRepresenter,
