@@ -4,8 +4,11 @@ Role of the reference's ``structure/measurers/`` + ``concern/icdar2015_eval``
 [U] (SURVEY.md §2.5): greedy IoU-0.5 matching with don't-care (ignore)
 regions for detection; exact-match sequence accuracy and normalized edit
 distance for recognition. Pure numpy on host — metrics are tiny and
-eval-only; polygon IoU uses the Sutherland–Hodgman clip (we have no
-shapely/pyclipper in this image, and none is needed).
+eval-only. Polygon intersection: Sutherland–Hodgman clip for CONVEX
+pairs (detector quads, ICDAR GT), raster intersection for non-convex
+chain polygons (curved text) — S–H is invalid at reflex vertices and
+scored every curved page 0.0 before the round-5 fix. No shapely/
+pyclipper in this image, and none is needed.
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from ..core.registry import register
 
 
 # ---------------------------------------------------------------------------
-# Polygon geometry (convex-safe; detection quads + ICDAR GT quads are convex)
+# Polygon geometry (convex fast path + raster fallback for chain polygons)
 # ---------------------------------------------------------------------------
 
 
@@ -63,7 +66,60 @@ def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return np.array(output, np.float64) if output else np.zeros((0, 2))
 
 
+def is_convex(poly: np.ndarray) -> bool:
+    """True if the polygon's turns all share one sign (degenerate edges ok).
+
+    Quads from the detector and ICDAR GT are convex; hard-tier curved
+    words carry CHAIN polygons (banana-shaped, reflex vertices) for which
+    Sutherland–Hodgman clipping is invalid — those route to the raster
+    intersection below.
+    """
+    p = np.asarray(poly, np.float64)
+    e = np.roll(p, -1, axis=0) - p
+    cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(
+        e, -1, axis=0
+    )[:, 0]
+    return bool(np.all(cross >= -1e-9) or np.all(cross <= 1e-9))
+
+
+_RASTER_SS = 4  # supersampling factor for the raster fallback; fillPoly
+# includes boundary pixels, biasing area by ~perimeter/(2*SS) — ~1-2% at
+# word scale with SS=4, and it largely cancels in the IoU ratio.
+
+
+def _raster_masks(p1: np.ndarray, p2: np.ndarray):
+    """Rasterize both polygons on their joint bbox at 2x supersampling.
+
+    Round-5 fix: the convex-only Sutherland–Hodgman path silently returned
+    ~0 intersection for non-convex chain polygons, scoring every curved
+    page at H-mean 0.0 — a measurer artifact, not detector quality. The
+    raster area is exact to ~0.5 px along the boundary, far inside the
+    IoU-0.5 protocol's tolerance at word scale. cv2 is host-side eval
+    tooling here, same policy as the dataset renderers.
+    """
+    import cv2
+
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    lo = np.floor(np.minimum(p1.min(0), p2.min(0))) - 1
+    hi = np.ceil(np.maximum(p1.max(0), p2.max(0))) + 1
+    wh = np.maximum((hi - lo).astype(np.int64) * _RASTER_SS, 2)
+    w, h = int(min(wh[0], 8192)), int(min(wh[1], 8192))
+    m1 = np.zeros((h, w), np.uint8)
+    m2 = np.zeros((h, w), np.uint8)
+    q1 = np.round((p1 - lo) * _RASTER_SS).astype(np.int32)
+    q2 = np.round((p2 - lo) * _RASTER_SS).astype(np.int32)
+    cv2.fillPoly(m1, [q1], 1)
+    cv2.fillPoly(m2, [q2], 1)
+    return m1, m2
+
+
 def polygon_iou(p1: np.ndarray, p2: np.ndarray) -> float:
+    if not (is_convex(p1) and is_convex(p2)):
+        m1, m2 = _raster_masks(p1, p2)
+        inter = int(np.sum(m1 & m2))
+        union = int(np.sum(m1 | m2))
+        return inter / union if union else 0.0
     from .. import native
 
     fast = native.polygon_iou(p1, p2)
@@ -77,8 +133,25 @@ def polygon_iou(p1: np.ndarray, p2: np.ndarray) -> float:
     return inter / union if union > 0 else 0.0
 
 
+def polygon_intersection_area(p1: np.ndarray, p2: np.ndarray) -> float:
+    """|p1 ∩ p2| for simple polygons, convex or not (raster fallback)."""
+    if not (is_convex(p1) and is_convex(p2)):
+        m1, m2 = _raster_masks(p1, p2)
+        return float(np.sum(m1 & m2)) / (_RASTER_SS * _RASTER_SS)
+    from .. import native
+
+    fast = native.polygon_intersection_area(p1, p2)
+    if fast is not None:
+        return fast
+    inter_poly = clip_polygon(p1.astype(np.float64), p2.astype(np.float64))
+    return polygon_area(inter_poly) if len(inter_poly) >= 3 else 0.0
+
+
 def polygon_intersection_over_self(p: np.ndarray, other: np.ndarray) -> float:
     """|p ∩ other| / |p| — the don't-care overlap test."""
+    if not (is_convex(p) and is_convex(other)):
+        a = polygon_area(p)
+        return polygon_intersection_area(p, other) / a if a > 0 else 0.0
     inter_poly = clip_polygon(p.astype(np.float64), other.astype(np.float64))
     if len(inter_poly) < 3:
         return 0.0
@@ -178,8 +251,7 @@ class DetEvalMeasurer:
             return {"recall_acc": 0.0, "precision_acc": 0.0, "n_gt": nG, "n_pred": nD}
 
         def inter(a, b):
-            poly = clip_polygon(a.astype(np.float64), b.astype(np.float64))
-            return polygon_area(poly) if len(poly) >= 3 else 0.0
+            return polygon_intersection_area(a, b)
 
         R = np.zeros((nG, nD))
         P = np.zeros((nG, nD))

@@ -113,6 +113,42 @@ def test_polygon_iou_basic():
     assert polygon_iou(a, a) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_polygon_iou_nonconvex_chain():
+    """Round-5 regression: Sutherland-Hodgman is convex-only; before the
+    raster fallback, non-convex chain polygons (curved words) scored ~0
+    against their own GT and every curved detection page read H-mean 0.0
+    — a measurer artifact. Oracles: identity IoU 1.0; an L-shape vs its
+    bounding square has hand-computable intersection (the L itself)."""
+    from megreader_tpu.postproc.measurers import (
+        is_convex,
+        polygon_intersection_area,
+    )
+
+    # banana: top chain left->right then bottom chain right->left
+    xs = np.linspace(0, 100, 9)
+    top = np.stack([xs, 20 + 15 * np.sin(xs / 100 * np.pi) - 8], axis=1)
+    bot = np.stack([xs, 20 + 15 * np.sin(xs / 100 * np.pi) + 8], axis=1)
+    banana = np.concatenate([top, bot[::-1]], axis=0)
+    assert not is_convex(banana)
+    assert polygon_iou(banana, banana) == pytest.approx(1.0, abs=0.02)
+    # shifted copy: overlap well below 1, above 0
+    iou = polygon_iou(banana, banana + np.array([30.0, 0.0]))
+    assert 0.05 < iou < 0.8
+
+    # L-shape (area 300) inside its 20x20 bbox square (area 400):
+    # inter = 300 -> IoU = 300/400
+    L = np.array(
+        [[0, 0], [20, 0], [20, 10], [10, 10], [10, 20], [0, 20]], np.float64
+    )
+    sq = np.array([[0, 0], [20, 0], [20, 20], [0, 20]], np.float64)
+    assert not is_convex(L)
+    # raster boundary bias ~perimeter/(2*SS): a few percent at this scale
+    assert polygon_intersection_area(L, sq) == pytest.approx(300.0, rel=0.05)
+    assert polygon_iou(L, sq) == pytest.approx(0.75, abs=0.03)
+    # convex pair still takes the exact path
+    assert is_convex(sq)
+
+
 def test_detection_measurer_protocol():
     m = DetectionMeasurer()
     gt = [
