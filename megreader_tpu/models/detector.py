@@ -373,6 +373,9 @@ class SegDetectorNet(nn.Module):
     #: exact space-to-depth stem rewrite (see models/resnet.py) — same
     #: params/checkpoints, better MXU packing of the 3-channel input
     stem_s2d: bool = False
+    #: 4x4 space-to-depth stem THROUGH the maxpool (round-5 profile-guided
+    #: rewrite; see models/resnet.py) — same params/checkpoints
+    stem_s2d4: bool = False
 
     @nn.compact
     def __call__(
@@ -387,6 +390,7 @@ class SegDetectorNet(nn.Module):
         feats = resnet_variant(
             self.num_backbone, "det", width=self.width, dtype=self.dtype,
             dcn_stages=tuple(self.dcn_stages), stem_s2d=self.stem_s2d,
+            stem_s2d4=self.stem_s2d4,
         )(images, train=train)
         fused = FPNNeck(self.fpn_dim, self.fpn_dim, dtype=self.dtype, name="fpn")(feats)
         out: Dict[str, jnp.ndarray] = {}
@@ -423,6 +427,7 @@ class SegDetector:
         fused_upsample: bool = True,
         dcn_stages=(),  # e.g. (3, 4): deformable 3x3 convs in those stages
         stem_s2d: bool = False,
+        stem_s2d4: bool = False,  # default pending TPU measurement
     ):
         self.net = SegDetectorNet(
             backbone, fpn_dim, head_dim, k, width,
@@ -430,6 +435,7 @@ class SegDetector:
             dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
             fused_upsample=fused_upsample,
             stem_s2d=stem_s2d,
+            stem_s2d4=stem_s2d4,
         )
         self.bce_scale = bce_scale
         self.l1_scale = l1_scale

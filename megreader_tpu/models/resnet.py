@@ -24,6 +24,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class _StemKernel(nn.Module):
@@ -182,12 +183,77 @@ class ResNet(nn.Module):
     #: checkpoints/converters/tests are unchanged. Equality-tested vs the
     #: direct conv (tests/test_detector.py::test_s2d_stem_exact).
     stem_s2d: bool = False
+    #: det-variant stem as a 4×4 space-to-depth rewrite THROUGH the
+    #: maxpool (round-5, profile-guided): the trace showed the direct 7×7
+    #: stem at 2.09 ms/batch-8 — 3.7% MFU, 20% of the whole detector —
+    #: because Cin=3 leaves 125/128 MXU lanes idle, and the 2× ``stem_s2d``
+    #: rewrite measured SLOWER because its GEMM N=64 still wasted half
+    #: the array and it materialized the 320² intermediate. This variant
+    #: packs 4×4 phases (48 input channels), emits both stride-2 output
+    #: row/col phases as channels (K=9·48=432→512 pad, N=4·64=256 — full
+    #: tiles), applies BN+relu per base channel on the packed tensor, and
+    #: computes the 3×3/s2 maxpool as 3 shifted maxes over phases, so the
+    #: 320² feature map never exists in HBM. Same "stem_conv/kernel"
+    #: param (transformed in-graph) — checkpoints interchange. Equality-
+    #: tested vs the direct chain incl. borders.
+    stem_s2d4: bool = False
+
+    def _stem_s2d4(self, x, train, dt):
+        """7×7/s2 conv + BN + relu + 3×3/s2 maxpool, all at H/4 resolution.
+
+        Index math: output 320²-row Y = 2m + q (m: 160² row, q: phase)
+        with tap dy∈[-3,3] reads input row 4m + 4(a-1) + ρ (a: packed
+        kernel row, ρ: input phase), so dy = 4(a-1) + ρ - 2q — a (3,4,2)
+        tap scatter per axis, zeros where |dy|>3. Maxpool window for
+        160²-row m is {2m-1, 2m, 2m+1} = {q1[m-1], q0[m], q1[m]}.
+        """
+        B, H, W, C = x.shape
+        width = self.width
+        w7 = _StemKernel((7, 7, C, width), name="stem_conv")()
+        # dy = 4(a-1) + rho - 2q ∈ [-6, 7]; pad w7 rows/cols to index dy+6
+        w14 = jnp.pad(w7, ((3, 4), (3, 4), (0, 0), (0, 0)))
+        j = (
+            4 * (np.arange(3)[:, None, None] - 1)
+            + np.arange(4)[None, :, None]
+            - 2 * np.arange(2)[None, None, :]
+            + 6
+        )  # (a, rho, q)
+        wp = w14[j][:, :, :, j]  # (a, rr, q, b, rc, t, C, co)
+        wp = wp.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(
+            3, 3, 16 * C, 4 * width
+        )  # (a, b, (rr, rc, ci), (q, t, co))
+
+        xs = x.reshape(B, H // 4, 4, W // 4, 4, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+        if self.dtype is not None:
+            xs = xs.astype(self.dtype)
+            wp = wp.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            xs, wp, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H/4, W/4, 4*width)
+        h, w = H // 4, W // 4
+        y = _bn(y.reshape(B, h, w, 4, width), train, "stem_bn", dt)
+        y = nn.relu(y).reshape(B, h, w, 2, 2, width)  # (.., q, t, co)
+        neg = jnp.asarray(-jnp.inf, y.dtype)
+        q0, q1 = y[:, :, :, 0], y[:, :, :, 1]  # (B, h, w, 2, width)
+        q1u = jnp.concatenate(
+            [jnp.full_like(q1[:, :1], neg), q1[:, :-1]], axis=1
+        )
+        rm = jnp.maximum(jnp.maximum(q0, q1), q1u)  # (B, h, w, 2, width)
+        t0, t1 = rm[..., 0, :], rm[..., 1, :]
+        t1l = jnp.concatenate(
+            [jnp.full_like(t1[:, :, :1], neg), t1[:, :, :-1]], axis=2
+        )
+        return jnp.maximum(jnp.maximum(t0, t1), t1l)  # (B, h, w, width)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype if self.dtype is not None else x.dtype
         if self.variant == "det":
-            if self.stem_s2d:
+            if self.stem_s2d4:
+                y = self._stem_s2d4(x, train, dt)  # through the maxpool
+            elif self.stem_s2d:
                 B, H, W, C = x.shape
                 # same scope/param ("stem_conv/kernel", same lecun_normal
                 # init) as the nn.Conv branch — checkpoints interchange
@@ -223,9 +289,12 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name="stem_conv",
                 )(x)
-            y = _bn(y, train, "stem_bn", dt)
-            y = nn.relu(y)
-            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            if not self.stem_s2d4:
+                y = _bn(y, train, "stem_bn", dt)
+                y = nn.relu(y)
+                y = nn.max_pool(
+                    y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+                )
             stage_strides = [(1, 1), (2, 2), (2, 2), (2, 2)]
         elif self.variant in ("rec", "rec2d"):
             y = _conv(self.width, 3, (1, 1), name="stem_conv", dtype=self.dtype)(x)

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default="/tmp/det_trace")
+    ap.add_argument("--s2d4", action="store_true",
+                    help="4x4 space-to-depth stem (same checkpoints)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,7 @@ def main():
     from megreader_tpu.ops.precision import cast_floats
 
     B, H, W = args.batch, args.hw, args.hw
-    det = SegDetector(backbone="resnet18")
+    det = SegDetector(backbone="resnet18", stem_s2d4=args.s2d4)
     det_vars = cast_floats(
         det.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3))), jnp.bfloat16
     )
