@@ -92,32 +92,12 @@ def _chains_single(
     h_mean = jnp.sum(h * ok, axis=1) / n_ok
     h = jnp.where(ok, h, h_mean[:, None])
 
-    # Quadratic spine fit (round-5): the raw band v-centers are estimated
-    # from the SHRUNK detector ribbon (~0.16x the text height after DB
-    # shrink), so each center carries px-scale noise that the unclip then
-    # amplifies ~6x; and the endpoint boundaries were extrapolated
-    # linearly from the two noisiest bands — exactly where the unclip
-    # extension places the word's first/last characters. A weighted
-    # least-squares quadratic v_c(u) over the alive bands de-noises the
-    # spine, gives analytic (noise-free) slopes for the de-inflation
-    # term, and extrapolates the CURVE through the endpoints. Words with
-    # <3 alive bands keep the raw band centers.
-    bw = width / S  # (K,) band width in u
-    tb = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S - 0.5  # band centers
-    X = jnp.stack([jnp.ones_like(tb), tb, tb * tb], axis=1)  # (S, 3)
-    wgt = ok.astype(jnp.float32)  # (K, S)
-    Xw = X[None] * wgt[..., None]  # (K, S, 3)
-    A = jnp.einsum("ksa,sb->kab", Xw, X)
-    A = A + 1e-4 * jnp.eye(3, dtype=jnp.float32)[None]
-    rhs = jnp.einsum("ksa,ks->ka", Xw, c)
-    coef = jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (K, 3)
-    use_fit = (jnp.sum(ok, axis=1) >= 4)[:, None]
-
     # De-inflate: a band's raw v extent includes the spine's drift WITHIN
     # the band (first-order: |dc/du| * band_width / 2), so a sloped segment
     # of a constant-thickness curve reads too tall. Estimate the local
     # slope from neighboring band centers (central differences, one-sided
     # at the ends) and subtract the drift term.
+    bw = width / S  # (K,) band width in u
     if S >= 2:
         dc = c[:, 1:] - c[:, :-1]  # (K, S-1)
         slope = jnp.concatenate(
@@ -126,13 +106,14 @@ def _chains_single(
         h = jnp.maximum(h - jnp.abs(slope) * bw[:, None] * 0.5, 0.5)
 
     # Band stats -> boundary values: interior boundary i averages bands
-    # i-1/i (unbiased, local). The two END boundaries extrapolate from
-    # the quadratic fit (evaluated at t=+-0.5) rather than linearly from
-    # the two noisiest end bands: the unclip extension places the word's
-    # first/last characters there, so end-boundary error garbles end
-    # letters. (A/B'd: replacing the WHOLE spine with the fit is a net
-    # loss — the parabola's bias beats the raw noise on interior bands —
-    # while fit-at-ends keeps interiors unbiased and ends stable.)
+    # i-1/i; the two ends extrapolate linearly (curved words keep curving
+    # through their endpoints — clamping flattens them). NOTE a global
+    # quadratic spine fit was A/B'd here twice (round 5) and LOST both
+    # ways on 96-page curved sets: full-fit spine (parabola bias beats
+    # raw band noise, curved 2D-CTC e2e 0.318 -> worse) and fit-at-ends
+    # (0.318 -> 0.264) — the synthetic curves are not parabolas, and
+    # biased end extrapolation garbles the unclip-extension region where
+    # the first/last characters live. Local estimates stay.
     def to_boundaries(a):  # (K, S) -> (K, S+1)
         inner = 0.5 * (a[:, :-1] + a[:, 1:])
         if S >= 2:
@@ -143,18 +124,6 @@ def _chains_single(
         return jnp.concatenate([first, inner, last], axis=1)
 
     vc = to_boundaries(c)  # (K, S+1)
-    if S >= 2:
-        # fit value at t = -0.5 / +0.5: a -/+ b/2 + c/4
-        v_first = coef[:, :1] - 0.5 * coef[:, 1:2] + 0.25 * coef[:, 2:3]
-        v_last = coef[:, :1] + 0.5 * coef[:, 1:2] + 0.25 * coef[:, 2:3]
-        vc = jnp.concatenate(
-            [
-                jnp.where(use_fit, v_first, vc[:, :1]),
-                vc[:, 1:-1],
-                jnp.where(use_fit, v_last, vc[:, -1:]),
-            ],
-            axis=1,
-        )
     hh = jnp.maximum(to_boundaries(h), 0.5)
 
     ub = u0[:, None] + width[:, None] * (
