@@ -102,29 +102,31 @@ def _fused_upsample_conv(x, kernel, bias):
     # see replicate). Recompute those four 1-px strips exactly from thin
     # 2-row strips: z[0] = k[1]·u[0] + k[2]·u[1], z[-1] = k[0]·u[-2] +
     # k[1]·u[-1], and transposed for columns (the column pass is exact in
-    # both dims, so it also settles the corners).
-    def strip_conv(strip, k_slice):
-        # (B, 2, N, Cin) x (2, 3, Cin, Cout) -> (B, 1, N, Cout); VALID
-        # vertically (2-row strip eats the 2-row kernel), zero-pad along N
-        return jax.lax.conv_general_dilated(
-            strip, k_slice, (1, 1), [(0, 0), (1, 1)],
+    # both dims, so it also settles the corners). Round-5 de-serialization:
+    # the FULL 3-row kernel on a 2-row strip with (1, 1) vertical padding
+    # yields exactly both formulas at once — output row 0 = k[1]u0 + k[2]u1
+    # (zero pad above) and row 1 = k[0]u0 + k[1]u1 (zero pad below) — and
+    # the first/last strips batch along the batch axis, so ONE conv
+    # replaces the previous four.
+    def strip_pair_conv(first, last, n, k):
+        # first/last (B, 2, M, Cin) -> ((B, 1, n, Cout) top, bottom)
+        Bs, r, _, C = first.shape
+        strip = jnp.concatenate([first, last], axis=0)
+        strip = jax.image.resize(strip, (2 * Bs, r, n, C), method="bilinear")
+        out = jax.lax.conv_general_dilated(
+            strip, k, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=strip.dtype,
-        )
+        )  # (2B, 2, n, Cout)
+        return out[:Bs, :1], out[Bs:, 1:]
 
-    def up_last(strip, n):  # exact 2x upsample along the 3rd axis
-        Bs, r, _, C = strip.shape
-        return jax.image.resize(strip, (Bs, r, n, C), method="bilinear")
-
-    top = strip_conv(up_last(_edge2_first(x), 2 * W), kernel[1:])
-    bot = strip_conv(up_last(_edge2_last(x), 2 * W), kernel[:2])
+    top, bot = strip_pair_conv(_edge2_first(x), _edge2_last(x), 2 * W, kernel)
     z = z.at[:, :1].set(top)
     z = z.at[:, -1:].set(bot)
 
     xt = jnp.transpose(x, (0, 2, 1, 3))  # (B, W, H, C)
     kT = jnp.transpose(kernel, (1, 0, 2, 3))
-    left = strip_conv(up_last(_edge2_first(xt), 2 * H), kT[1:])
-    right = strip_conv(up_last(_edge2_last(xt), 2 * H), kT[:2])
+    left, right = strip_pair_conv(_edge2_first(xt), _edge2_last(xt), 2 * H, kT)
     z = z.at[:, :, :1].set(jnp.transpose(left, (0, 2, 1, 3)))
     z = z.at[:, :, -1:].set(jnp.transpose(right, (0, 2, 1, 3)))
 
@@ -345,15 +347,17 @@ class MapHead(nn.Module):
         # Outer 4-px output strips re-run the exact full-path on thin
         # slices (8 guard rows/cols cover the tail's receptive field).
         # Columns run AFTER rows from full-height slices, settling corners.
+        # Opposite sides batch along the batch axis (round-5: the border
+        # machinery serialized ~1 ms of small convs; two tail_full calls
+        # instead of four, each conv inside them already pair-batched).
+        B = y.shape[0]
         g, k = 8, 4
-        top = tail_full(y[:, :g])[:, :k]
-        bot = tail_full(y[:, -g:])[:, -k:]
-        z = z.at[:, :k].set(top)
-        z = z.at[:, -k:].set(bot)
-        left = tail_full(y[:, :, :g])[:, :, :k]
-        right = tail_full(y[:, :, -g:])[:, :, -k:]
-        z = z.at[:, :, :k].set(left)
-        z = z.at[:, :, -k:].set(right)
+        tb = tail_full(jnp.concatenate([y[:, :g], y[:, -g:]], axis=0))
+        z = z.at[:, :k].set(tb[:B, :k])
+        z = z.at[:, -k:].set(tb[B:, -k:])
+        lr = tail_full(jnp.concatenate([y[:, :, :g], y[:, :, -g:]], axis=0))
+        z = z.at[:, :, :k].set(lr[:B, :, :k])
+        z = z.at[:, :, -k:].set(lr[B:, :, -k:])
         return jax.nn.sigmoid(z[..., 0].astype(jnp.float32))
 
 
