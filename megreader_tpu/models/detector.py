@@ -27,8 +27,30 @@ from ..ops.losses import balanced_bce_loss, dice_loss, masked_l1_loss
 from .resnet import resnet_variant
 
 
+def _tent_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Half-pixel bilinear resampling weights (n_out, n_in) — exactly the
+    jax.image.resize('bilinear') formula (src = (o+0.5)·n_in/n_out − 0.5,
+    edge-clamped tent), as a dense matrix so resizes run as MXU matmuls."""
+    src = np.clip(
+        (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5, 0, n_in - 1
+    )
+    w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - np.arange(n_in)[None, :]))
+    return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
 def _resize_to(x, h, w, method="bilinear"):
-    B, _, _, C = x.shape
+    B, H, W, C = x.shape
+    if method == "bilinear" and h >= H and w >= W and (h, w) != (H, W):
+        # (upscale only: jax.image widens the kernel for anti-aliased
+        # DOWNscaling, which the plain tent does not reproduce)
+        # separable tent matmuls: jax.image.resize's gather-based lowering
+        # measured 0.88 ms/iter across the FPN at 640² batch 8 (round-5
+        # trace) vs a bandwidth SOL of ~0.15 ms; two einsums ride the MXU
+        # instead. Equality-tested vs jax.image.resize at the FPN scales.
+        rh = jnp.asarray(_tent_matrix(h, H), x.dtype)
+        rw = jnp.asarray(_tent_matrix(w, W), x.dtype)
+        t = jnp.einsum("oh,bhwc->bowc", rh, x)
+        return jnp.einsum("pw,bowc->bopc", rw, t)
     return jax.image.resize(x, (B, h, w, C), method=method)
 
 

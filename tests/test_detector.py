@@ -106,6 +106,21 @@ def test_representer_scales_to_original():
     assert q[:, 1].max() > 50  # scaled y
 
 
+def test_resize_matmul_matches_jax_image():
+    """The separable tent-matrix resize (MXU matmuls) must equal
+    jax.image.resize bilinear for upscales — round-5: the gather-based
+    lowering cost 0.88 ms/iter across the FPN."""
+    from megreader_tpu.models.detector import _resize_to
+
+    rng = np.random.default_rng(0)
+    for (H, W, h, w, C) in [(20, 20, 160, 160, 7), (40, 44, 160, 176, 5),
+                            (16, 16, 32, 32, 4)]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        a = np.asarray(_resize_to(x, h, w))
+        b = np.asarray(jax.image.resize(x, (2, h, w, C), method="bilinear"))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_polygon_iou_basic():
     a = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float64)
     b = np.array([[5, 0], [15, 0], [15, 10], [5, 10]], np.float64)
