@@ -276,9 +276,12 @@ class _UpConv(nn.Module):
         """``mode``: 'full' = exact (B, 2H, 2W, C) output incl. border fix;
         'packed' = stage-1 interior, phases-as-channels (B, H, W, 2, 2, C);
         'packed2' = stage-2 on a packed input (B, H, W, 2, 2, Cin) ->
-        (B, 4H, 4W, C). Packed modes keep all compute at low resolution
-        with wide channels (the full-res 32/1-channel intermediates are
-        layout-bound on TPU); their borders are recomputed by the caller."""
+        (B, 4H, 4W, C); 'naive' = literal resize->zero-padded-conv (the
+        reference formulation, no fusion) — cheapest op count on THIN
+        strips, used by the packed head's border recompute. Packed modes
+        keep all compute at low resolution with wide channels (the
+        full-res 32/1-channel intermediates are layout-bound on TPU);
+        their borders are recomputed by the caller."""
         Cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, Cin, self.features)
@@ -299,6 +302,15 @@ class _UpConv(nn.Module):
             return _phase_conv_packed(x, kernel, bias)
         if mode == "packed2":
             return _packed2_conv(x, kernel, bias)
+        if mode == "naive":
+            B, H, W, _ = x.shape
+            t = _resize_to(x, 2 * H, 2 * W)
+            z = jax.lax.conv_general_dilated(
+                t, kernel, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=t.dtype,
+            )
+            return z if bias is None else z + bias
         return _fused_upsample_conv(x, kernel, bias)
 
 
@@ -366,12 +378,17 @@ class MapHead(nn.Module):
 
         # Exact border recompute: the packed interior edge-pads where the
         # reference chain sees the bilinear clamp AND the convs' zero pad.
-        # Outer 4-px output strips re-run the exact full-path on thin
+        # Outer 4-px output strips re-run the reference path on thin
         # slices (8 guard rows/cols cover the tail's receptive field).
         # Columns run AFTER rows from full-height slices, settling corners.
         # Opposite sides batch along the batch axis (round-5: the border
         # machinery serialized ~1 ms of small convs; two tail_full calls
         # instead of four, each conv inside them already pair-batched).
+        # Measured negative (round-5b, scripts/profile_packed_head.py):
+        # running the strips through the NAIVE resize->conv tail instead
+        # of tail_full — fewer ops on paper — was SLOWER (head 3.3 vs
+        # 2.85 ms at 640² batch 8): the full-res thin-strip intermediates'
+        # layouts cost more than the fused path's extra small ops.
         B = y.shape[0]
         g, k = 8, 4
         tb = tail_full(jnp.concatenate([y[:, :g], y[:, -g:]], axis=0))

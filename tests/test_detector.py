@@ -342,3 +342,24 @@ def test_packed_serving_head_matches_full_path():
         variables, x, train=True, mutable=["batch_stats"]
     )
     assert y.shape == (2, 4 * h, 4 * w)
+
+
+def test_upconv_naive_mode_matches_full():
+    """_UpConv(mode='naive') is the literal resize->zero-padded-conv
+    reference formulation; 'full' is the fused composition. They must
+    agree everywhere (incl. borders). 'naive' exists because the packed
+    head's border strips were re-timed through it (round 5b) — it
+    measured SLOWER and tail_full stays the default, but the mode
+    documents the reference chain and pins the fused path against it."""
+    from megreader_tpu.models.detector import _UpConv
+
+    rng = np.random.default_rng(3)
+    for (h, w, cin, cout) in [(9, 11, 8, 4), (6, 6, 3, 5)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)), jnp.float32)
+        mod = _UpConv(cout)
+        v = mod.init(jax.random.PRNGKey(1), x)
+        a = mod.apply(v, x, mode="full")
+        b = mod.apply(v, x, mode="naive")
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )
