@@ -157,6 +157,224 @@ def _fused_upsample_conv(x, kernel, bias):
     return z
 
 
+# --- analytic border stencils for the packed tail ---------------------------
+#
+# The packed interior edge-pads its low-res input, while the reference
+# chain's borders see the bilinear CLAMP (u[0]=x[0], u[2H-1]=x[H-1]) plus
+# the convs' ZERO padding on the upsampled grid. Both effects are linear,
+# so the exact outer packed row/col is a tiny 2-tap stencil of the outer
+# two input rows/cols. Per dim, the weight of input row t inside upsampled
+# sample u[j] near the top/bottom (rows of the tables below index
+# u[-1..2] / u[2H-3..2H]; zero rows are the conv's zero padding):
+_UP1_TOP = np.array(
+    [[0, 0], [1, 0], [0.75, 0.25], [0.25, 0.75]], np.float32
+)
+_UP1_BOT = np.array(
+    [[0.75, 0.25], [0.25, 0.75], [0, 1], [0, 0]], np.float32
+)
+# Stage-2 (packed input): borders reach THREE r-rows (r = the 2x grid held
+# as packed phases); tables index u2[-1..4] / u2[4H-5..4H], taps = the
+# first/last three r-rows:
+_UP2_TOP = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [0.75, 0.25, 0],
+        [0.25, 0.75, 0], [0, 0.75, 0.25], [0, 0.25, 0.75],
+    ],
+    np.float32,
+)
+_UP2_BOT = np.array(
+    [
+        [0.75, 0.25, 0], [0.25, 0.75, 0], [0, 0.75, 0.25],
+        [0, 0.25, 0.75], [0, 0, 1], [0, 0, 0],
+    ],
+    np.float32,
+)
+# packed (row, phase) slot of r-row t in the 2-row border window
+_P2_TOPMAP = ((0, 0), (0, 1), (1, 0))
+_P2_BOTMAP = ((0, 1), (1, 0), (1, 1))
+
+
+def _border_taps(table, phases):
+    """BT[p, d, t] = table[p + d, t]: weight of input row t in the u-grid
+    sample feeding conv tap d of border output phase p."""
+    return np.stack([table[p : p + 3] for p in range(phases)])
+
+
+def _stage1_borders(x, kernel, bias, v):
+    """Overwrite the packed stage-1 tensor's outer packed row/col (and
+    corners) with the EXACT values of [2x clamp upsample -> zero-padded
+    conv3x3], as analytic stencils over the outer two input rows/cols.
+    x (B,H,W,Cin) stage input; v (B,H,W,2,2,Cout) packed interior."""
+    B, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    taps = jnp.asarray(_PHASE_TAPS, kernel.dtype)
+    bt = jnp.asarray(_border_taps(_UP1_TOP, 2), kernel.dtype)
+    bb = jnp.asarray(_border_taps(_UP1_BOT, 2), kernel.dtype)
+
+    def pack(K, th, tw):
+        return jnp.transpose(K, (2, 3, 4, 0, 1, 5)).reshape(
+            th, tw, Cin, 4 * Cout
+        )
+
+    def conv(s, K):
+        z = jax.lax.conv_general_dilated(
+            s, K, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=s.dtype,
+        )
+        return z if bias is None else z + jnp.tile(bias, 4)
+
+    padw = lambda s: jnp.pad(s, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    padh = lambda s: jnp.pad(s, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    Kt = pack(jnp.einsum("pdh,qew,deio->pqhwio", bt, taps, kernel), 2, 3)
+    Kb = pack(jnp.einsum("pdh,qew,deio->pqhwio", bb, taps, kernel), 2, 3)
+    Kl = pack(jnp.einsum("pdh,qew,deio->pqhwio", taps, bt, kernel), 3, 2)
+    Kr = pack(jnp.einsum("pdh,qew,deio->pqhwio", taps, bb, kernel), 3, 2)
+    top = conv(padw(x[:, :2]), Kt).reshape(B, 1, W, 2, 2, Cout)
+    bot = conv(padw(x[:, -2:]), Kb).reshape(B, 1, W, 2, 2, Cout)
+    left = conv(padh(x[:, :, :2]), Kl).reshape(B, H, 1, 2, 2, Cout)
+    right = conv(padh(x[:, :, -2:]), Kr).reshape(B, H, 1, 2, 2, Cout)
+    v = v.at[:, :1].set(top)
+    v = v.at[:, -1:].set(bot)
+    v = v.at[:, :, :1].set(left)
+    v = v.at[:, :, -1:].set(right)
+    for rt, ct, hs, ws in [
+        (bt, bt, slice(0, 2), slice(0, 2)),
+        (bt, bb, slice(0, 2), slice(W - 2, W)),
+        (bb, bt, slice(H - 2, H), slice(0, 2)),
+        (bb, bb, slice(H - 2, H), slice(W - 2, W)),
+    ]:
+        Kc = jnp.einsum("pdh,qew,deio->pqhwio", rt, ct, kernel)
+        val = jnp.einsum("bhwi,pqhwio->bpqo", x[:, hs, ws], Kc)
+        if bias is not None:
+            val = val + bias
+        hi = 0 if hs.start == 0 else H - 1
+        wi = 0 if ws.start == 0 else W - 1
+        v = v.at[:, hi, wi].set(val)
+    return v
+
+
+def _packed2_border_kernels(kernel):
+    """Row/col/corner border kernels for the packed stage-2 conv: the
+    exact outer packed output px (4 full-res px per side) as stencils over
+    the outer two PACKED input rows/cols. Returns dict of conv kernels
+    keyed (side) plus corner einsum kernels; all act on the flattened
+    (..., 4*C1) packed layout and produce (..., 16*C2) packed outputs."""
+    C1, C2 = kernel.shape[2], kernel.shape[3]
+    taps = jnp.asarray(_PHASE_TAPS, kernel.dtype)
+    bt = jnp.asarray(_border_taps(_UP2_TOP, 4), kernel.dtype)
+    bb = jnp.asarray(_border_taps(_UP2_BOT, 4), kernel.dtype)
+
+    def row_kernel(b2, pmap):
+        # rows: border stencil over 2 packed rows; cols: interior scatter
+        A = jnp.einsum("rdt,pew,deio->rptwio", b2, taps, kernel)
+        K = jnp.zeros((2, 3, 4 * C1, 16 * C2), kernel.dtype)
+        for rh in range(4):
+            for t in range(3):
+                sh, fh = pmap[t]
+                for qw in range(2):
+                    for pw in range(2):
+                        rw = 2 * qw + pw
+                        for tw in range(3):
+                            sw, fw = divmod(qw + tw + 1, 2)
+                            ci = (fh * 2 + fw) * C1
+                            co = (rh * 4 + rw) * C2
+                            K = K.at[
+                                sh, sw, ci : ci + C1, co : co + C2
+                            ].add(A[rh, pw, t, tw])
+        return K
+
+    def col_kernel(b2, pmap):
+        A = jnp.einsum("pdh,ret,deio->prhtio", taps, b2, kernel)
+        K = jnp.zeros((3, 2, 4 * C1, 16 * C2), kernel.dtype)
+        for qh in range(2):
+            for ph in range(2):
+                rh = 2 * qh + ph
+                for th in range(3):
+                    sh, fh = divmod(qh + th + 1, 2)
+                    for rw in range(4):
+                        for t in range(3):
+                            sw, fw = pmap[t]
+                            ci = (fh * 2 + fw) * C1
+                            co = (rh * 4 + rw) * C2
+                            K = K.at[
+                                sh, sw, ci : ci + C1, co : co + C2
+                            ].add(A[ph, rw, th, t])
+        return K
+
+    def corner_kernel(rb2, rmap, cb2, cmap):
+        A = jnp.einsum("rdt,sew,deio->rstwio", rb2, cb2, kernel)
+        K = jnp.zeros((2, 2, 4 * C1, 16 * C2), kernel.dtype)
+        for rh in range(4):
+            for t in range(3):
+                sh, fh = rmap[t]
+                for rw in range(4):
+                    for tw in range(3):
+                        sw, fw = cmap[tw]
+                        ci = (fh * 2 + fw) * C1
+                        co = (rh * 4 + rw) * C2
+                        K = K.at[sh, sw, ci : ci + C1, co : co + C2].add(
+                            A[rh, rw, t, tw]
+                        )
+        return K
+
+    tm, bm = _P2_TOPMAP, _P2_BOTMAP
+    return {
+        "top": row_kernel(bt, tm),
+        "bot": row_kernel(bb, bm),
+        "left": col_kernel(bt, tm),
+        "right": col_kernel(bb, bm),
+        "tl": corner_kernel(bt, tm, bt, tm),
+        "tr": corner_kernel(bt, tm, bb, bm),
+        "bl": corner_kernel(bb, bm, bt, tm),
+        "br": corner_kernel(bb, bm, bb, bm),
+    }
+
+
+def _packed2_conv_exact(v, kernel, bias):
+    """Stage-2 of the packed head tail with EXACT borders: interior via
+    the composed packed kernel, outer packed row/col/corners via the
+    analytic border stencils — no full-res intermediates, no strip
+    recompute. v (B,H,W,2,2,C1) -> (B,4H,4W,C2), equal to
+    [2x upsample -> zero-padded conv3x3] on the unpacked 2x-res input."""
+    B, H, W, _, _, C1 = v.shape
+    C2 = kernel.shape[-1]
+    K = _packed2_kernel(kernel)
+    vf = v.reshape(B, H, W, 4 * C1)
+    vr = jnp.pad(vf, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    z = jax.lax.conv_general_dilated(
+        vr, K, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=vf.dtype,
+    )  # (B, H, W, 16*C2)
+    bk = _packed2_border_kernels(kernel)
+
+    def conv(s, Kb):
+        return jax.lax.conv_general_dilated(
+            s, Kb, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=s.dtype,
+        )
+
+    padw = lambda s: jnp.pad(s, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    padh = lambda s: jnp.pad(s, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    z = z.at[:, :1].set(conv(padw(vf[:, :2]), bk["top"]))
+    z = z.at[:, -1:].set(conv(padw(vf[:, -2:]), bk["bot"]))
+    z = z.at[:, :, :1].set(conv(padh(vf[:, :, :2]), bk["left"]))
+    z = z.at[:, :, -1:].set(conv(padh(vf[:, :, -2:]), bk["right"]))
+    for nm, hi, wi in [("tl", 0, 0), ("tr", 0, W - 1), ("bl", H - 1, 0),
+                       ("br", H - 1, W - 1)]:
+        hs = slice(0, 2) if hi == 0 else slice(H - 2, H)
+        ws = slice(0, 2) if wi == 0 else slice(W - 2, W)
+        val = jnp.einsum("bhwi,hwio->bo", vf[:, hs, ws], bk[nm])
+        z = z.at[:, hi, wi].set(val)
+    if bias is not None:
+        z = z + jnp.tile(bias, 16)
+    z = z.reshape(B, H, W, 4, 4, C2)
+    z = jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(B, 4 * H, 4 * W, C2)
+    return z
+
+
 def _phase_conv_packed(x, kernel, bias):
     """Stage-1 of the packed head tail: the interior of
     ``_fused_upsample_conv`` WITHOUT depth-to-space — returns phases as
