@@ -84,6 +84,35 @@ def main():
     def s_module(y):
         return head.apply(hv, y, train=False)
 
+    from megreader_tpu.models.detector import (
+        _packed2_border_kernels, _packed2_conv_exact, _stage1_borders,
+    )
+
+    def s_up1p_exact(y):
+        s = s_bn(y)
+        v = _phase_conv_packed(s, p["up1"]["kernel"], None)
+        return _stage1_borders(s, p["up1"]["kernel"], None, v)
+
+    def s_bn1_exact(y):
+        return bn(s_up1p_exact(y), "bn1")
+
+    def s_up2_exact(y):
+        return _packed2_conv_exact(
+            s_bn1_exact(y).reshape(B, H, W, 2, 2, 32),
+            p["up2"]["kernel"], p["up2"]["bias"],
+        )
+
+    def s_borderk_only(y):
+        bk = _packed2_border_kernels(p["up2"]["kernel"] + y[0, 0, 0, 0])
+        return sum(jnp.sum(k) for k in bk.values())
+
+    head_strips = MapHead(
+        D, dtype=jnp.bfloat16, fused_upsample=True, analytic_borders=False
+    )
+
+    def s_module_strips(y):
+        return head_strips.apply(hv, y, train=False)
+
     def slope(fn, label):
         @functools.partial(jax.jit, static_argnames=("iters",))
         def loop(y, iters):
@@ -116,7 +145,11 @@ def main():
     slope(s_bn1, "+bn1/relu packed")
     slope(s_up2_nod2s, "+up2 packed2 (no d2s)")
     slope(s_up2_d2s, "+d2s(4)")
-    slope(s_module, "head.apply (full, borders)")
+    slope(s_module, "head.apply (analytic borders)")
+    slope(s_module_strips, "head.apply (strip recompute)")
+    slope(s_up1p_exact, "up1 packed_exact (st1 borders)")
+    slope(s_up2_exact, "+up2 packed2_exact")
+    slope(s_borderk_only, "border-kernel build alone")
 
 
 if __name__ == "__main__":

@@ -326,17 +326,20 @@ def test_packed_serving_head_matches_full_path():
     rng = np.random.default_rng(0)
     for (h, w, dim) in [(12, 10, 16), (7, 9, 8)]:
         x = jnp.asarray(rng.normal(size=(2, h, w, 32)), jnp.float32)
-        head_p = MapHead(dim, packed_serving=True)
+        head_a = MapHead(dim, packed_serving=True, analytic_borders=True)
+        head_s = MapHead(dim, packed_serving=True, analytic_borders=False)
         head_f = MapHead(dim, packed_serving=False)
-        variables = head_p.init(jax.random.PRNGKey(0), x, train=False)
+        variables = head_a.init(jax.random.PRNGKey(0), x, train=False)
         bs = jax.tree.map(
             lambda a: a + 0.3 * np.abs(rng.normal(size=a.shape)).astype(a.dtype),
             variables["batch_stats"],
         )
         variables = {"params": variables["params"], "batch_stats": bs}
-        out_p = head_p.apply(variables, x, train=False)
         out_f = head_f.apply(variables, x, train=False)
-        np.testing.assert_allclose(out_p, out_f, atol=2e-6)
+        for head_p in (head_a, head_s):
+            out_p = head_p.apply(variables, x, train=False)
+            np.testing.assert_allclose(out_p, out_f, atol=2e-6)
+        head_p = head_a
     # train mode ignores the packed path (canonical BN stats tensor)
     y, st = head_p.apply(
         variables, x, train=True, mutable=["batch_stats"]
